@@ -1,0 +1,184 @@
+"""Static configuration pytrees for the TPU-native SCP/MPC engine.
+
+The reference (``/root/reference``) hard-codes constants across ``Config.py:4-26``,
+``Scenarios.py:42-87`` and in-file literals (``SCP_controller.py:83-86,216-218``).
+Here they become two layers:
+
+* :class:`SCPConfig` — **static** (hashable, Python scalars only). Everything that
+  determines array *shapes* or compiled control flow lives here; it is passed as a
+  static argument to ``jax.jit`` so one compiled solver serves a whole scenario
+  family.
+* :class:`ScenarioData` — **dynamic** pytree of arrays (initial states, reference
+  polylines, obstacle tables, per-vehicle weights). Batched / sharded freely.
+
+Design note: the reference's ``scenario.uLim`` is read but never defined
+(``SCP_controller.py:34`` vs ``Scenarios.py:42-87`` — SURVEY.md Q1). We define it
+explicitly as the per-step box bound on the steering command, defaulting to the
+mechanical steering limit as in the MATLAB original.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Model dimensions (fixed by the bicycle model, reference Model.py:36-38).
+NX = 6  # state:   [x, y, heading, v_rear, accel, steering]
+NU = 1  # control: steering-angle reference
+NY = 2  # output:  [x, y] position
+
+
+@dataclasses.dataclass(frozen=True)
+class SCPConfig:
+    """Static solver/problem configuration (hashable; safe as a jit static arg).
+
+    Mirrors reference ``Scenarios.Scenario.__init__`` (Scenarios.py:42-87),
+    ``Config.QCQP`` (Config.py:12-18) and the SCP literals
+    (SCP_controller.py:83-86).
+    """
+
+    # Problem shape
+    n_veh: int = 1
+    n_obst: int = 0
+    hp: int = 10            # prediction horizon (Scenarios.py:50)
+    hu: int = 10            # control horizon (Scenarios.py:51)
+    n_ref_points: int = 2   # padded length of reference polylines
+
+    # Timing (seconds). All are multiples of tick_length after quantization
+    # (reference complete_scenario, Scenarios.py:204-214).
+    tick_length: float = 0.01
+    dt: float = 0.4
+    t_end: float = 20.0
+    delay_x: float = 0.0
+    delay_u: float = 0.03
+
+    # Limits (Scenarios.py:52-54)
+    lateral_accel_limit: float = 9.81 / 2
+    mechanical_steering_limit: float = math.pi / 180 * 3
+    du_lim: float = math.pi / 180 * 6      # steering-rate limit per MPC step
+    u_lim: float = math.pi / 180 * 3       # box bound in the QP (see Q1 note)
+
+    # Collision geometry
+    dsafe_extra: float = 1.0               # Scenarios.py:58
+
+    # SCP loop (SCP_controller.py:83-86,191-195)
+    max_scp_iter: int = 20
+    delta_tol: float = 1e-3
+    slack_weight: float = 1e5              # psi_omega_weight, exact-penalty weight
+    slack_ub: float = 1e8                  # reference uses 1e25; clamped for f32
+    constraint_tolerance: float = 2 * 2.1 * 1e-3  # Config.py:18
+
+    # Penalty-score constants (QCQP_evaluate, SCP_controller.py:216-218)
+    c_quad: float = 1e9
+    c_linear: float = 0.0
+
+    # Inner QP solver
+    qp_max_iter: int = 30
+    qp_tol: float = 1e-7
+
+    # Integration substeps: RK4 steps per tick for plant / delay compensation.
+    rk4_substeps: int = 1
+
+    # Noise (Model.py:84-87): std of the white noise on dx, dy.
+    noise_std: float = 0.0
+
+    # ---- derived tick quantities (reference Scenarios.py:204-214) ----
+    @property
+    def ticks_per_sim(self) -> int:
+        return round(self.dt / self.tick_length + 1e-8)
+
+    @property
+    def n_sim(self) -> int:
+        return round(self.t_end / self.dt + 1e-8)
+
+    @property
+    def ticks_total(self) -> int:
+        return self.n_sim * self.ticks_per_sim
+
+    @property
+    def ticks_delay_x(self) -> int:
+        return round(self.delay_x / self.tick_length + 1e-8)
+
+    @property
+    def ticks_delay_u(self) -> int:
+        return round(self.delay_u / self.tick_length + 1e-8)
+
+    @property
+    def n_pairs(self) -> int:
+        return self.n_veh * (self.n_veh - 1) // 2
+
+    @property
+    def n_constraints(self) -> int:
+        """Avoidance rows in the linearized QP (SCP_controller.py:80)."""
+        return self.hp * (self.n_pairs + self.n_veh * self.n_obst)
+
+    @property
+    def n_u(self) -> int:
+        """Stacked decision-variable count (without slack)."""
+        return self.n_veh * NU * self.hp
+
+    @property
+    def delay_comp_time(self) -> float:
+        """Horizon of the delay-compensation rollout (MPC_Iter.py:26-29)."""
+        return self.delay_x + self.dt + self.delay_u
+
+    def replace(self, **kw: Any) -> "SCPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VehicleParams:
+    """Per-vehicle parameter arrays, shape (n_veh,) each.
+
+    Vectorized form of the reference's per-vehicle lists
+    (``Scenario.addVehicle``, Scenarios.py:89-103).
+    """
+
+    lf: jax.Array        # center -> front axle [m]
+    lr: jax.Array        # center -> rear axle  [m]
+    length: jax.Array    # bumper-to-bumper [m]
+    width: jax.Array     # [m]
+    q: jax.Array         # tracking weight
+    q_final: jax.Array   # terminal tracking weight
+    r: jax.Array         # steering-rate weight
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ScenarioData:
+    """Dynamic scenario arrays. A leading batch axis may be added via vmap.
+
+    Fields mirror the reference ``Scenario`` object after
+    ``complete_scenario()`` (Scenarios.py:204-252), as stacked arrays.
+    """
+
+    x0: jax.Array           # (n_veh, NX) initial states
+    u0: jax.Array           # (n_veh,) initial steering commands
+    params: VehicleParams
+    # Reference polylines, padded to n_ref_points with the last vertex repeated.
+    ref_points: jax.Array   # (n_veh, n_ref_points, 2)
+    ref_valid: jax.Array    # (n_veh, n_ref_points) bool — True for real vertices
+    # Obstacle table rows: [x, y, heading, speed, length, width]
+    # (Scenarios.py:105-107); zero rows when n_obst == 0.
+    obstacles: jax.Array    # (n_obst, 6)
+    # Safety distances (Scenarios.py:229-252).
+    dsafe_veh: jax.Array    # (n_veh, n_veh)
+    dsafe_obst: jax.Array   # (n_veh, n_obst)
+
+
+def default_vehicle_params(n_veh: int, dtype=jnp.float64) -> VehicleParams:
+    """Vectorized ``DefaultVehicle`` parameters (reference Model.py:8-29)."""
+    ones = jnp.ones((n_veh,), dtype)
+    return VehicleParams(
+        lf=0.34 * ones,
+        lr=0.34 * ones,
+        length=0.98 * ones,
+        width=0.88 * ones,
+        q=1.0 * ones,
+        q_final=20.0 * ones,
+        r=4000.0 * ones,
+    )
