@@ -67,6 +67,7 @@ class SCPConfig:
     # SCP loop (SCP_controller.py:83-86,191-195)
     max_scp_iter: int = 20
     delta_tol: float = 1e-3
+    delta_tol_rel: float = 0.0   # relative merit stop (needed for float32)
     slack_weight: float = 1e5              # psi_omega_weight, exact-penalty weight
     slack_ub: float = 1e8                  # reference uses 1e25; clamped for f32
     constraint_tolerance: float = 2 * 2.1 * 1e-3  # Config.py:18
@@ -81,6 +82,16 @@ class SCPConfig:
 
     # Integration substeps: RK4 steps per tick for plant / delay compensation.
     rk4_substeps: int = 1
+
+    # Reference-compat switches (SURVEY.md §2a):
+    # Q10 — the reference integrates each tick from the step start with the
+    # control sampled at that tick's END, so the state carried into the next
+    # step sees the latest command over the WHOLE step (the 3-tick actuator
+    # delay never reaches the carried state). False = physically-correct
+    # piecewise-constant control with the delay switch.
+    plant_compat_q10: bool = True
+    # Q5 — obstacle violations invisible to the SCP stop rule when n_veh == 1.
+    compat_q5: bool = True
 
     # Noise (Model.py:84-87): std of the white noise on dx, dy.
     noise_std: float = 0.0

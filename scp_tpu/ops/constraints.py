@@ -1,0 +1,179 @@
+"""Structured QCQP collision constraints — no dense Phi tensors.
+
+The reference materializes per-constraint quadratic forms
+``Phi ∈ (nVeh-1, nVeh, Hp, n, n)`` (SCP_controller.py:278-341) — 28.7 MB per
+step at 8 vehicles, almost all zeros. Algebraically each pair constraint
+``(i, j, k)`` is::
+
+    c = (dsafe + extra)^2 - || p_i[k](u) - p_j[k](u) ||^2
+    p_v[k](u) = const_term[v, k] + B[v, k] @ u_v
+
+(and analogously with a fixed obstacle position). We therefore never build
+Phi/Psi/gamma: constraint values, gradients, and the linearized QP rows all
+come from predicted positions via batched einsums, which XLA fuses into a few
+MXU matmuls.
+
+Stacked decision variable: ``u = concat_v(u_v)``, block of Hu per vehicle
+(matches the reference's order='F' reshape, SCP_controller.py:202).
+Constraint-row ordering matches SCP_controller.py:96-114: vehicle pairs in
+``triu`` order (pair-major, horizon-minor), then (vehicle, obstacle, k).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scp_tpu.config import NY
+
+
+class ConstraintSystem(NamedTuple):
+    """Static-shape problem data for one scenario instance.
+
+    V = n_veh, O = n_obst, K = hp, U = hu, P = V*(V-1)/2 pairs.
+    """
+    b3: jax.Array           # (V, K, NY, U)  per-step blocks of math_b
+    const3: jax.Array       # (V, K, NY)     per-step const_term
+    obst_pos: jax.Array     # (O, K, NY)     predicted obstacle centers
+    dsafe2_pair: jax.Array  # (P,)   (dsafe_veh + extra)^2 for each pair
+    dsafe2_obst: jax.Array  # (V, O) (dsafe_obst + extra)^2
+    pair_i: jax.Array       # (P,) static pair indices (i < j)
+    pair_j: jax.Array       # (P,)
+
+
+def make_system(math_b, const_term, obst_pos, dsafe_veh, dsafe_obst,
+                dsafe_extra, hp: int, hu: int) -> ConstraintSystem:
+    """Assemble the structured system from per-vehicle condensed matrices.
+
+    math_b: (V, hp*NY, hu), const_term: (V, hp*NY), obst_pos: (O, hp, NY).
+    """
+    v = math_b.shape[0]
+    b3 = math_b.reshape(v, hp, NY, hu)
+    const3 = const_term.reshape(v, hp, NY)
+    iu, ju = jnp.triu_indices(v, k=1)
+    dsafe2_pair = (dsafe_veh[iu, ju] + dsafe_extra) ** 2
+    dsafe2_obst = (dsafe_obst + dsafe_extra) ** 2
+    return ConstraintSystem(b3, const3, obst_pos, dsafe2_pair, dsafe2_obst,
+                            iu, ju)
+
+
+def positions(sys: ConstraintSystem, u: jax.Array) -> jax.Array:
+    """Predicted positions (V, K, NY) for stacked controls u (V*hu,)."""
+    v, k, _, hu = sys.b3.shape
+    uv = u.reshape(v, hu)
+    return sys.const3 + jnp.einsum("vkyu,vu->vky", sys.b3, uv)
+
+
+def constraint_values(sys: ConstraintSystem, u: jax.Array):
+    """Exact (concave-quadratic) constraint values at ``u``.
+
+    Returns ``(c_pair (P, K), c_obst (V, O, K))`` — positive = violated,
+    matching ``QCQP_evaluate`` (SCP_controller.py:235,252).
+    """
+    pos = positions(sys, u)
+    d_pair = pos[sys.pair_i] - pos[sys.pair_j]            # (P, K, NY)
+    c_pair = sys.dsafe2_pair[:, None] - jnp.sum(d_pair**2, -1)
+    d_obst = pos[:, None] - sys.obst_pos[None]            # (V, O, K, NY)
+    c_obst = sys.dsafe2_obst[:, :, None] - jnp.sum(d_obst**2, -1)
+    return c_pair, c_obst
+
+
+def linearize(sys: ConstraintSystem, u: jax.Array):
+    """Linearize every constraint at ``u``: rows ``g`` with ``g @ x <= rhs``.
+
+    Equivalent to the reference's ``Psi^T + 2 u^T Phi`` rows and
+    ``u^T Phi u - gamma`` rhs (SCP_controller.py:100-113) computed from the
+    position structure. Returns ``(G (C, n), rhs (C,))`` with
+    C = P*K + V*O*K, n = V*hu.
+    """
+    v, k, _, hu = sys.b3.shape
+    n = v * hu
+    pos = positions(sys, u)
+
+    # --- vehicle pairs ---
+    d_pair = pos[sys.pair_i] - pos[sys.pair_j]            # (P, K, NY)
+    c_pair = sys.dsafe2_pair[:, None] - jnp.sum(d_pair**2, -1)
+    gi = -2.0 * jnp.einsum("pky,pkyu->pku", d_pair, sys.b3[sys.pair_i])
+    gj = 2.0 * jnp.einsum("pky,pkyu->pku", d_pair, sys.b3[sys.pair_j])
+    eye_v = jnp.eye(v, dtype=u.dtype)
+    # scatter per-vehicle gradient segments into the stacked variable
+    g_pair = (jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_i], gi)
+              + jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_j], gj))
+    uv = u.reshape(v, hu)
+    gdotu_pair = (jnp.einsum("pku,pu->pk", gi, uv[sys.pair_i])
+                  + jnp.einsum("pku,pu->pk", gj, uv[sys.pair_j]))
+    rhs_pair = gdotu_pair - c_pair
+
+    # --- obstacles ---
+    d_obst = pos[:, None] - sys.obst_pos[None]            # (V, O, K, NY)
+    c_obst = sys.dsafe2_obst[:, :, None] - jnp.sum(d_obst**2, -1)
+    gv = -2.0 * jnp.einsum("voky,vkyu->voku", d_obst, sys.b3)
+    g_obst = jnp.einsum("vw,voku->vokwu", eye_v, gv)
+    gdotu_obst = jnp.einsum("voku,vu->vok", gv, uv)
+    rhs_obst = gdotu_obst - c_obst
+
+    G = jnp.concatenate([
+        g_pair.reshape(-1, n),
+        g_obst.reshape(-1, n),
+    ], axis=0)
+    rhs = jnp.concatenate([rhs_pair.reshape(-1), rhs_obst.reshape(-1)])
+    return G, rhs
+
+
+class Violations(NamedTuple):
+    feasible: jax.Array       # bool
+    max_violation: jax.Array  # max over violated constraints, 0 if none
+    sum_violations: jax.Array
+    c_pair: jax.Array
+    c_obst: jax.Array
+
+
+def evaluate(sys: ConstraintSystem, u: jax.Array, tol: float,
+             compat_q5: bool = True) -> Violations:
+    """Violation bookkeeping of ``QCQP_evaluate`` (SCP_controller.py:215-265).
+
+    ``compat_q5=True`` reproduces the reference's nesting bug (SURVEY.md Q5):
+    the obstacle loop sits inside the ``v2`` pair loop, so with one vehicle
+    obstacle violations are never counted, and with n > 2 vehicles each
+    (v, o, k) obstacle term is counted ``nVeh - 1 - v`` times in
+    ``sum_violations``. ``feasible``/``max_violation`` are only affected by
+    the single-vehicle skip.
+    """
+    c_pair, c_obst = constraint_values(sys, u)
+    n_veh = sys.b3.shape[0]
+
+    pair_viol = jnp.where(c_pair > tol, c_pair, 0.0)
+    obst_viol = jnp.where(c_obst > tol, c_obst, 0.0)
+
+    if compat_q5 and n_veh == 1:
+        obst_mask = jnp.zeros_like(obst_viol)
+    else:
+        obst_mask = obst_viol
+
+    max_violation = jnp.maximum(
+        jnp.max(pair_viol, initial=0.0), jnp.max(obst_mask, initial=0.0))
+    if compat_q5:
+        # multiplicity (nVeh - 1 - v) per vehicle v in the reference sum
+        mult = jnp.maximum(
+            n_veh - 1 - jnp.arange(n_veh, dtype=u.dtype), 0.0)
+        sum_obst = jnp.einsum("v,vok->", mult, obst_viol)
+    else:
+        sum_obst = jnp.sum(obst_viol)
+    sum_violations = jnp.sum(pair_viol) + sum_obst
+    feasible = (jnp.max(pair_viol, initial=0.0) <= 0.0) & \
+               (jnp.max(obst_mask, initial=0.0) <= 0.0)
+    return Violations(feasible, max_violation, sum_violations, c_pair, c_obst)
+
+
+def objective(phi0, psi0, gamma0, u: jax.Array) -> jax.Array:
+    """Tracking objective u^T Phi0 u + Psi0^T u + gamma0 with block-diagonal
+    per-vehicle Phi0 (SCP_controller.py:227, 293-298).
+
+    phi0: (V, hu, hu), psi0: (V, hu), gamma0: (V,), u: (V*hu,).
+    """
+    v, hu, _ = phi0.shape
+    uv = u.reshape(v, hu)
+    quad = jnp.einsum("vu,vuw,vw->", uv, phi0, uv)
+    lin = jnp.einsum("vu,vu->", psi0, uv)
+    return quad + lin + jnp.sum(gamma0)

@@ -1,0 +1,286 @@
+"""Closed-loop MPC simulation engine — one ``lax.scan`` over MPC steps.
+
+Reference: ``Simulation.runsimulation`` (main.py:82-231). Each scan step
+reproduces the reference pipeline:
+
+1. dynamic steering limit from lateral acceleration (main.py:106-110);
+2. delay compensation: forward-integrate the plant over
+   ``delay_x + dt + delay_u`` holding the last commanded steering
+   (``IterClass``, MPC_Iter.py:25-33);
+3. reference resampling + obstacle prediction (MPC_Iter.py:35-51);
+4. linearize/discretize/condense (``MPCclass``, MPC_Iter.py:57-149);
+5. SCP solve (SCP_controller.py:74-197);
+6. steering magnitude/rate clamps, applied sequentially along the horizon
+   (main.py:164-174);
+7. plant rollout at tick resolution with the actuator-delay control switch:
+   the first ``ticks_delay_u`` ticks of step ``i`` still run on the command
+   from step ``i-2``, the rest on step ``i-1``'s (write pattern at
+   main.py:176-182);
+8. metrics (``evaluateInOriginalProblem``, SCP_controller.py:343-400).
+
+Everything is fixed-shape: ``jit`` once, ``vmap`` over scenario batches,
+``shard_map`` over device meshes. Process noise is injected per plant tick
+with explicit PRNG keys (reference adds N(0, 3e-6) inside the ODE,
+Model.py:84-87).
+
+Control timeline note (delay_x = 0 as in all shipped scenarios): the command
+computed at step ``i`` covers ticks ``(i+1)*tps + delay_u + 1`` through
+``(i+2)*tps + delay_u``. Plant integration per tick holds the control value
+of the tick being entered (piecewise-constant), which differs from the
+reference's restart-from-step-start integration (Q10, main.py:184-191) by
+O(integrator tolerance) over the 3 delay ticks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scp_tpu.config import NX, NY, SCPConfig, ScenarioData
+from scp_tpu.models import bicycle
+from scp_tpu.ops import condensed, constraints as con, discretize, reference_path
+from scp_tpu.scenarios.builders import (OBST_HEADING, OBST_SPEED, OBST_X,
+                                        OBST_Y)
+from scp_tpu.solvers import scp
+
+
+class SimCarry(NamedTuple):
+    state: jax.Array    # (V, NX) plant state at the current tick
+    u_prev2: jax.Array  # (V,) command applied during the delay window
+    u_prev1: jax.Array  # (V,) last command (active for the rest of the step)
+    u_warm: jax.Array   # (V*HP,) SCP warm start = previous solution
+    step: jax.Array     # scalar int step index
+    key: jax.Array      # PRNG key for plant noise
+
+
+class StepOutput(NamedTuple):
+    states: jax.Array         # (ticks_per_sim, V, NX) plant path this step
+    u_applied: jax.Array      # (V,) clamped first command
+    u_pred: jax.Array         # (HP, V) clamped control prediction
+    traj_pred: jax.Array      # (HP, NY, V) predicted trajectory
+    ref_points: jax.Array     # (V, HP, 2) sampled reference
+    x0_pred: jax.Array        # (V, NX) delay-compensated linearization state
+    feasible: jax.Array
+    converged: jax.Array
+    obj: jax.Array            # SCP tracking objective
+    max_violation: jax.Array
+    scp_iters: jax.Array
+    qp_iters: jax.Array
+    pred_obj: jax.Array       # evaluateInOriginalProblem objective
+    pred_feasible: jax.Array  # trajectory-distance feasibility
+
+
+def dynamic_steering_limit(cfg: SCPConfig, data: ScenarioData,
+                           state: jax.Array) -> jax.Array:
+    """min(mechanical, atan(a_lat_max * L / v^2)) per vehicle (main.py:106-110)."""
+    speed = state[:, 3]
+    L = data.params.lf + data.params.lr
+    dyn = jnp.arctan(cfg.lateral_accel_limit * L /
+                     jnp.maximum(speed ** 2, 1e-9))
+    return jnp.minimum(cfg.mechanical_steering_limit, dyn)
+
+
+def delay_compensate(cfg: SCPConfig, data: ScenarioData, state, u_last):
+    """Integrate the nominal plant over the delay horizon (MPC_Iter.py:25-33).
+
+    Returns (x0 (V, NX), trajectory (10, NX, V)) — 10 points to mirror the
+    reference's ``MPC_delay_compensation_trajectory``.
+    """
+    T = cfg.delay_comp_time
+    n_steps = 9
+
+    def one(x, u, lf, lr):
+        return bicycle.integrate(x, u, lf, lr, h=T / n_steps,
+                                 n_steps=n_steps, substeps=4)
+
+    traj = jax.vmap(one)(state, u_last, data.params.lf, data.params.lr)
+    x0 = traj[:, -1, :]
+    return x0, jnp.transpose(traj, (1, 2, 0))
+
+
+def predict_obstacles(cfg: SCPConfig, data: ScenarioData, step) -> jax.Array:
+    """Constant-velocity obstacle forecast (MPC_Iter.py:45-51) from the
+    measured state at tick ``step*tps - ticks_delay_x``. Returns (O, HP, 2)."""
+    if cfg.n_obst == 0:
+        return jnp.zeros((0, cfg.hp, 2), data.x0.dtype)
+    obst = data.obstacles
+    t_meas = (step * cfg.ticks_per_sim - cfg.ticks_delay_x) * cfg.tick_length
+    t_meas = jnp.maximum(t_meas, 0.0)
+    speed = obst[:, OBST_SPEED]
+    heading = obst[:, OBST_HEADING]
+    vel = speed[:, None] * jnp.stack([jnp.cos(heading), jnp.sin(heading)], -1)
+    base = obst[:, [OBST_X, OBST_Y]] + t_meas * vel
+    horizon = ((jnp.arange(1, cfg.hp + 1, dtype=obst.dtype)) * cfg.dt
+               + cfg.delay_comp_time)
+    return base[:, None, :] + horizon[None, :, None] * vel[:, None, :]
+
+
+def clamp_controls(cfg: SCPConfig, U, u0, u_max):
+    """Sequential magnitude/rate clamps (main.py:164-174).
+
+    U: (HP, V) raw prediction; u0: (V,) previous command; u_max: (V,).
+    The clamp order (min umax, max -umax, min prev+du, max prev-du) is
+    preserved exactly — it matters when the rate window falls outside the
+    magnitude box.
+    """
+    def row(prev, u_row):
+        u = jnp.minimum(u_row, u_max)
+        u = jnp.maximum(u, -u_max)
+        u = jnp.minimum(u, prev + cfg.du_lim)
+        u = jnp.maximum(u, prev - cfg.du_lim)
+        return u, u
+
+    _, clamped = jax.lax.scan(row, u0, U)
+    return clamped
+
+
+def rollout_plant(cfg: SCPConfig, data: ScenarioData, state, u_prev2, u_prev1,
+                  key):
+    """Integrate the true plant over one MPC step at tick resolution.
+
+    The control entering tick m (1-based) is ``u_prev2`` for
+    ``m <= ticks_delay_u`` and ``u_prev1`` after (write pattern of
+    main.py:176-182). Returns (ticks_per_sim, V, NX).
+    """
+    tps = cfg.ticks_per_sim
+    h = cfg.tick_length
+    m_idx = jnp.arange(1, tps + 1)
+    if cfg.plant_compat_q10:
+        # Q10 compat: the reference's per-tick restart integration means the
+        # carried state only ever sees the latest command (main.py:184-191).
+        use_prev2 = jnp.zeros((tps,), bool)
+    else:
+        use_prev2 = m_idx <= cfg.ticks_delay_u       # (tps,)
+    keys = jax.random.split(key, tps)
+
+    def tick(x, inp):
+        is_old, k = inp
+        u = jnp.where(is_old, u_prev2, u_prev1)      # (V,)
+
+        def one(xv, uv, lf, lr, kv):
+            xnew = xv
+            for _ in range(cfg.rk4_substeps):
+                xnew = bicycle.rk4_step(xnew, uv, lf, lr,
+                                        h / cfg.rk4_substeps)
+            if cfg.noise_std > 0:
+                noise = cfg.noise_std * h * jax.random.normal(kv, (2,),
+                                                              xv.dtype)
+                xnew = xnew.at[:2].add(noise)
+            return xnew
+
+        vkeys = jax.random.split(k, x.shape[0])
+        x = jax.vmap(one)(x, u, data.params.lf, data.params.lr, vkeys)
+        return x, x
+
+    _, states = jax.lax.scan(tick, state, (use_prev2, keys))
+    return states
+
+
+def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+             dtype=None) -> tuple[SimCarry, StepOutput]:
+    """One complete MPC step (controller + plant)."""
+    dtype = dtype or data.x0.dtype
+    key, key_noise = jax.random.split(carry.key)
+
+    u_max = dynamic_steering_limit(cfg, data, carry.state)
+
+    # --- controller preprocessing (IterClass) ---
+    x0, _ = delay_compensate(cfg, data, carry.state, carry.u_prev1)
+    step_sizes = x0[:, 3] * cfg.dt
+    ref_pts = reference_path.sample_reference_batch(
+        data.ref_points, data.ref_valid, x0[:, :2], step_sizes, cfg.hp, True)
+    obst_pos = predict_obstacles(cfg, data, carry.step)
+
+    # --- MPCclass: discretize + condense ---
+    A, B, E = discretize.linearize_and_discretize_batch(
+        x0, carry.u_prev1, data.params.lf, data.params.lr, cfg.dt)
+    ref_stack = ref_pts.reshape(cfg.n_veh, cfg.hp * NY)
+    cm = condensed.build_condensed_batch(
+        A, B, E, x0, ref_stack, data.params.q, data.params.r,
+        data.params.q_final, cfg.hp, cfg.hu)
+
+    # --- SCP solve ---
+    sys_ = con.make_system(cm.math_b, cm.const_term, obst_pos,
+                           data.dsafe_veh, data.dsafe_obst,
+                           cfg.dsafe_extra, cfg.hp, cfg.hu)
+    problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
+                             gamma0=cm.gamma0)
+    res = scp.solve_scp(
+        problem, carry.u_warm,
+        u_lim=cfg.u_lim, max_scp_iter=cfg.max_scp_iter,
+        delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
+        slack_weight=cfg.slack_weight,
+        slack_ub=cfg.slack_ub,
+        constraint_tolerance=cfg.constraint_tolerance,
+        qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+        compat_q5=cfg.compat_q5)
+
+    traj_pred, U_raw = scp.forward_u(sys_, res.u)
+    U = clamp_controls(cfg, U_raw, carry.u_prev1, u_max)
+    u_cmd = U[0]
+
+    # --- plant rollout ---
+    states = rollout_plant(cfg, data, carry.state, carry.u_prev2,
+                           carry.u_prev1, key_noise)
+
+    # --- evaluateInOriginalProblem metrics (SCP_controller.py:343-400) ---
+    sq_err = (jnp.transpose(ref_pts, (1, 2, 0)) - traj_pred) ** 2  # (HP,NY,V)
+    obj_x = jnp.sum(data.params.q * jnp.sum(sq_err[:-1], axis=(0, 1))) \
+        + jnp.sum(data.params.q_final * jnp.sum(sq_err[-1], axis=0))
+    obj_u = jnp.sum(data.params.r * jnp.sum(U ** 2, axis=0))
+    pred_obj = obj_x + obj_u
+    # trajectory-distance feasibility (without dsafeExtra)
+    pos_t = jnp.transpose(traj_pred, (2, 0, 1))  # (V, HP, NY)
+    iu, ju = sys_.pair_i, sys_.pair_j
+    d2 = jnp.sum((pos_t[iu] - pos_t[ju]) ** 2, -1)       # (P, HP)
+    ci_v = data.dsafe_veh[iu, ju][:, None] ** 2 - d2
+    d2o = jnp.sum((pos_t[:, None] - obst_pos[None]) ** 2, -1)
+    ci_o = data.dsafe_obst[:, :, None] ** 2 - d2o
+    pred_feasible = (jnp.max(ci_v, initial=-jnp.inf) <= cfg.constraint_tolerance) & \
+                    (jnp.max(ci_o, initial=-jnp.inf) <= cfg.constraint_tolerance)
+
+    new_carry = SimCarry(
+        state=states[-1],
+        u_prev2=carry.u_prev1,
+        u_prev1=u_cmd,
+        u_warm=res.u,
+        step=carry.step + 1,
+        key=key,
+    )
+    out = StepOutput(
+        states=states, u_applied=u_cmd, u_pred=U, traj_pred=traj_pred,
+        ref_points=ref_pts, x0_pred=x0,
+        feasible=res.feasible, converged=res.converged, obj=res.obj,
+        max_violation=res.max_violation, scp_iters=res.iters,
+        qp_iters=res.qp_iters, pred_obj=pred_obj,
+        pred_feasible=pred_feasible)
+    return new_carry, out
+
+
+def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return SimCarry(
+        state=data.x0,
+        u_prev2=data.u0,
+        u_prev1=data.u0,
+        u_warm=jnp.zeros((cfg.n_veh * cfg.hp,), data.x0.dtype),
+        step=jnp.array(0),
+        key=key,
+    )
+
+
+def simulate(cfg: SCPConfig, data: ScenarioData, key=None,
+             n_steps: int | None = None):
+    """Run the full closed loop. Returns (final_carry, stacked StepOutput).
+
+    jit with ``static_argnums`` on cfg/n_steps, or wrap in a partial.
+    """
+    carry = init_carry(cfg, data, key)
+    n = n_steps if n_steps is not None else cfg.n_sim
+
+    def step(c, _):
+        return mpc_step(cfg, data, c)
+
+    return jax.lax.scan(step, carry, None, length=n)

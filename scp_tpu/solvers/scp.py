@@ -1,0 +1,151 @@
+"""SCP outer loop: iterated convexification with an exact-penalty slack.
+
+Reference: ``SCPcontroller.SCP_optimizer`` (SCP_controller.py:74-197). Each
+iteration linearizes the concave avoidance constraints at the current iterate,
+appends one slack variable ω (weight 1e5) shared by all avoidance rows
+(SCP_controller.py:123-127), solves the convex QP, and stops when the
+exact-penalty merit ``objective + w * max_violation`` decreases by less than
+``delta_tol`` while the worst violation is inside tolerance
+(SCP_controller.py:159-195; the single-vehicle escape branch at 191-192 also
+stops on a stalled merit with violation *above* tolerance).
+
+TPU-first: the loop is a ``jax.lax.while_loop`` over fixed-shape arrays; the
+whole solver jits and ``vmap``s over scenario batches, with per-instance
+``done`` masks so converged instances freeze while the batch continues.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scp_tpu.ops import constraints as con
+from scp_tpu.solvers import qp
+
+
+class SCPProblem(NamedTuple):
+    """One scenario instance's SCP data (vmap adds batch axes)."""
+    sys: con.ConstraintSystem
+    phi0: jax.Array    # (V, hu, hu) per-vehicle cost blocks
+    psi0: jax.Array    # (V, hu)
+    gamma0: jax.Array  # (V,)
+
+
+class SCPResult(NamedTuple):
+    u: jax.Array              # (n,) final stacked controls
+    feasible: jax.Array       # bool — exact constraints within tolerance
+    converged: jax.Array      # bool — merit stop triggered before iteration cap
+    obj: jax.Array            # tracking objective at u
+    max_violation: jax.Array
+    iters: jax.Array          # SCP iterations used
+    qp_iters: jax.Array       # total inner-QP iterations
+
+
+def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
+              u_lim: float,
+              max_scp_iter: int = 20,
+              delta_tol: float = 1e-3,
+              delta_tol_rel: float = 0.0,
+              slack_weight: float = 1e5,
+              slack_ub: float = 1e8,
+              constraint_tolerance: float = 2 * 2.1 * 1e-3,
+              qp_max_iter: int = 30,
+              qp_tol: float = 1e-8,
+              compat_q5: bool = True) -> SCPResult:
+    """Solve one SCP instance. Shapes are static; vmap for batches.
+
+    ``delta_tol`` is the reference's absolute merit-decrease threshold
+    (SCP_controller.py:83). In float32 the merit carries ~1e-7 relative
+    noise, so absolute 1e-3 can be unreachable when the objective is ~1e5;
+    set ``delta_tol_rel`` (e.g. 1e-5) to stop once the decrease is small
+    *relative to the merit* as well.
+    """
+    sys = problem.sys
+    dtype = u_init.dtype
+    v, hp, _, hu = sys.b3.shape
+    n = v * hu
+    n_con = sys.dsafe2_pair.shape[0] * hp + v * sys.obst_pos.shape[0] * hp
+    single_veh = v == 1
+
+    # Numerical nudge of u[0] (SCP_controller.py:75-76).
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    u_init = jnp.where(
+        jnp.abs(u_init[0]) < eps,
+        u_init.at[0].set(eps),
+        u_init)
+
+    # Fixed QP cost: blockdiag(2 * phi0) plus a zero slack row/col; the slack
+    # enters linearly with weight ``slack_weight`` (SCP_controller.py:120-127).
+    P_qp = jnp.zeros((n + 1, n + 1), dtype)
+    for i in range(v):  # static unroll over vehicles
+        P_qp = P_qp.at[i * hu:(i + 1) * hu, i * hu:(i + 1) * hu].set(
+            2.0 * problem.phi0[i])
+    q_qp = jnp.concatenate([problem.psi0.reshape(n),
+                            jnp.array([slack_weight], dtype)])
+    lb = jnp.concatenate([jnp.full((n,), -u_lim, dtype),
+                          jnp.zeros((1,), dtype)])
+    ub = jnp.concatenate([jnp.full((n,), u_lim, dtype),
+                          jnp.full((1,), slack_ub, dtype)])
+    slack_col = jnp.full((n_con, 1), -1.0, dtype)
+
+    ev0 = con.evaluate(sys, u_init, constraint_tolerance, compat_q5)
+    obj_init = con.objective(problem.phi0, problem.psi0, problem.gamma0, u_init)
+
+    class Carry(NamedTuple):
+        u: jax.Array
+        obj: jax.Array
+        viol: jax.Array
+        feasible: jax.Array
+        done: jax.Array
+        it: jax.Array
+        qp_iters: jax.Array
+
+    init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
+                 feasible=ev0.feasible, done=jnp.array(False),
+                 it=jnp.array(0), qp_iters=jnp.array(0))
+
+    def body(c: Carry) -> Carry:
+        G_c, rhs = con.linearize(sys, c.u)
+        G = jnp.concatenate([G_c, slack_col], axis=1)
+        x0 = jnp.concatenate([c.u, jnp.zeros((1,), dtype)])
+        sol = qp.solve_qp(P_qp, q_qp, G, rhs, lb, ub,
+                          max_iter=qp_max_iter, tol=qp_tol, x0=x0)
+        # NaN guard: a diverged inner solve must not poison the iterate.
+        ok = jnp.all(jnp.isfinite(sol.x))
+        u_new = jnp.where(ok, sol.x[:n], c.u)
+        ev = con.evaluate(sys, u_new, constraint_tolerance, compat_q5)
+        obj_new = con.objective(problem.phi0, problem.psi0, problem.gamma0,
+                                u_new)
+        # Merit decrease (SCP_controller.py:161): previous-iterate merit minus
+        # current merit, both with the exact-penalty violation term.
+        merit_prev = c.obj + slack_weight * c.viol
+        merit_new = obj_new + slack_weight * ev.max_violation
+        delta = merit_prev - merit_new
+        thresh = delta_tol + delta_tol_rel * jnp.abs(merit_new)
+        small_delta = (jnp.abs(delta) < thresh) | ~ok
+        if single_veh:
+            stop = small_delta  # both reference break branches fire
+        else:
+            stop = small_delta & (ev.max_violation <= constraint_tolerance)
+        return Carry(
+            u=u_new, obj=obj_new, viol=ev.max_violation, feasible=ev.feasible,
+            done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters)
+
+    def cond(c: Carry):
+        return (c.it < max_scp_iter) & (~c.done)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SCPResult(u=out.u, feasible=out.feasible, converged=out.done,
+                     obj=out.obj, max_violation=out.viol, iters=out.it,
+                     qp_iters=out.qp_iters)
+
+
+def forward_u(sys: con.ConstraintSystem, u: jax.Array):
+    """Predicted trajectory and per-vehicle controls (``forward_U``,
+    SCP_controller.py:199-213). Returns (traj (hp, NY, V), U (hp, V))."""
+    v, hp, _, hu = sys.b3.shape
+    pos = con.positions(sys, u)          # (V, hp, NY)
+    traj = jnp.transpose(pos, (1, 2, 0))
+    U = u.reshape(v, hu).T
+    return traj, U

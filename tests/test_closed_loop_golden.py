@@ -1,0 +1,64 @@
+"""Golden test: full closed-loop simulation vs the reference Simulation.
+
+Runs the *original* main.Simulation (cvxpy shimmed to our f64 QP solver)
+for a short horizon and compares applied controls and vehicle states
+step-by-step against scp_tpu.sim.engine.simulate.
+"""
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, "tests")
+from reference_oracle import load_reference, make_scenario  # noqa: E402
+import cvxpy_shim  # noqa: E402
+
+from scp_tpu.scenarios import builders  # noqa: E402
+from scp_tpu.sim import engine  # noqa: E402
+
+
+def run_reference_sim(n_veh=3, n_steps=5, tmpdir="/tmp/scp_ref_data"):
+    cvxpy_shim.install()
+    ref, sc = make_scenario("circle", n_veh)
+    sc.T_end = n_steps * sc.dt
+    sc.complete_scenario()
+    sc.uLim = sc.mechanicalSteeringLimit
+
+    import main as ref_main
+    ref_main.scenario_choice = "Circle"  # Q9: module-global read
+    os.makedirs(os.path.join(os.getcwd(), "Data"), exist_ok=True)
+    sim = ref_main.Simulation(sc, doOnlinePlot=False, isNoise=False)
+    sim.runsimulation("SCP")
+    return sc, sim
+
+
+def test_closed_loop_circle_3veh():
+    n_veh, n_steps = 3, 5
+    sc, sim = run_reference_sim(n_veh, n_steps)
+
+    cfg, data = builders.circle(n_veh)
+    cfg = cfg.replace(rk4_substeps=2)
+    carry, out = engine.simulate(cfg, data, n_steps=n_steps)
+
+    # applied controls per step
+    ref_u = sim.controlPredictions[0, :, :n_steps].T          # (n_steps, V)
+    np.testing.assert_allclose(np.asarray(out.u_applied), ref_u,
+                               rtol=1e-5, atol=1e-7)
+
+    # full control prediction of the last step
+    np.testing.assert_allclose(np.asarray(out.u_pred[-1]),
+                               sim.controlPredictions[:, :, n_steps - 1],
+                               rtol=1e-4, atol=1e-6)
+
+    # vehicle states at each step boundary (position/heading/steering)
+    tps = sc.ticks_per_sim
+    for i in range(n_steps):
+        ref_state = sim.vehiclePathFullRes[:, :, (i + 1) * tps].T  # (V, 6)
+        got_state = np.asarray(out.states[i, -1])
+        np.testing.assert_allclose(got_state, ref_state, rtol=1e-5, atol=2e-5,
+                                   err_msg=f"step {i}")
+
+    # SCP diagnostics sane
+    assert bool(jnp.all(out.feasible))
+    assert bool(jnp.all(out.converged))
