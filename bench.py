@@ -1,0 +1,113 @@
+"""Benchmark: SCP controller solves/s on one TPU chip.
+
+Measures the full warm-started MPC controller step (delay compensation,
+reference sampling, linearize/discretize/condense, SCP solve with the batched
+IPM QP) on a randomized 4-vehicle circle batch at the N=20 horizon — the
+north-star metric of BASELINE.json. ``vs_baseline`` is measured against the
+per-chip share of the 10k solves/s v5e-8 target (1250 solves/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Environment note: the TPU-tunnel RPC in this environment intermittently
+wedges on process start (observed: identical programs compile in ~2 s or hang
+indefinitely, independent of program content). The benchmark therefore runs
+its measurement in a child process with a watchdog and retries, and uses the
+persistent compilation cache so retries are cheap.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = 512
+N_VEH = 4
+HP = 20
+BASELINE_SOLVES_PER_SEC_CHIP = 1250.0  # 10k on v5e-8 / 8 chips
+ATTEMPT_TIMEOUT_S = 420
+RETRIES = 4
+
+
+def worker():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch(
+        "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
+        n_veh=N_VEH)
+    cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-5, qp_tol=1e-6,
+                      qp_max_iter=25)
+
+    def step(d, carry):
+        new_carry, out = engine.mpc_step(cfg, d, carry)
+        return new_carry, out.feasible
+
+    step_j = jax.jit(jax.vmap(step))
+    carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
+
+    t0 = time.time()
+    carry, feas = step_j(data, carry)
+    jax.block_until_ready(carry)
+    compile_s = time.time() - t0
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        carry, feas = step_j(data, carry)
+    jax.block_until_ready(carry)
+    dt = (time.time() - t0) / iters
+
+    solves_per_sec = BATCH / dt
+    result = {
+        "metric": "scp_solves_per_sec_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC_CHIP, 3),
+    }
+    print(json.dumps(result))
+    print(f"# batch={BATCH} n_veh={N_VEH} hp={HP} step_ms={dt * 1e3:.1f} "
+          f"compile_s={compile_s:.1f}", file=sys.stderr)
+
+
+def main():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH", ""), os.path.dirname(
+            os.path.abspath(__file__))] if p)
+    for attempt in range(RETRIES):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S,
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt + 1} timed out (TPU tunnel wedge); "
+                  f"retrying", file=sys.stderr)
+            time.sleep(30)
+            continue
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        print(f"# attempt {attempt + 1} failed rc={proc.returncode}: "
+              f"{proc.stderr[-500:]}", file=sys.stderr)
+        time.sleep(30)
+    print(json.dumps({"metric": "scp_solves_per_sec_chip", "value": 0.0,
+                      "unit": "solves/s", "vs_baseline": 0.0}))
+    return 1
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        sys.exit(main())

@@ -1,0 +1,136 @@
+"""Command-line interface for running closed-loop simulations and sweeps.
+
+The reference selects scenarios/controllers by editing ``main.py:234-255``;
+here it is a thin CLI over the jitted engine:
+
+    python -m scp_tpu.cli run --scenario circle --n-veh 8 --steps 50
+    python -m scp_tpu.cli run --scenario frog --noise --mc 256
+    python -m scp_tpu.cli bench --batch 512 --hp 20
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build(args, dtype):
+    from scp_tpu.scenarios import builders
+
+    kw = {}
+    if args.scenario != "frog":
+        kw["n_veh"] = args.n_veh
+    cfg, data = builders.BUILDERS[args.scenario](dtype=dtype, **kw)
+    overrides = {}
+    if args.hp:
+        overrides.update(hp=args.hp, hu=args.hp)
+    if args.noise:
+        overrides["noise_std"] = 3e-6 * 100  # reference per-eval std, per-tick
+    if dtype == jnp.float32:
+        overrides.setdefault("delta_tol_rel", 1e-5)
+        overrides.setdefault("qp_tol", 1e-6)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg, data
+
+
+def cmd_run(args):
+    from scp_tpu.sim import engine
+    from scp_tpu.utils import results
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg, data = _build(args, dtype)
+    n_steps = args.steps or cfg.n_sim
+
+    sim = jax.jit(functools.partial(engine.simulate, cfg, n_steps=n_steps))
+    t0 = time.time()
+    if args.mc > 1:
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), args.mc)
+        carry, out = jax.vmap(lambda k: sim(data, key=k))(keys)
+    else:
+        carry, out = sim(data, key=jax.random.PRNGKey(args.seed))
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+
+    feas = np.asarray(out.feasible)
+    summary = {
+        "scenario": args.scenario,
+        "n_veh": cfg.n_veh,
+        "steps": n_steps,
+        "mc": args.mc,
+        "wall_s": round(wall, 3),
+        "steps_per_sec": round(n_steps * max(args.mc, 1) / wall, 2),
+        "feasible_frac": float(feas.mean()),
+        "mean_scp_iters": float(np.asarray(out.scp_iters).mean()),
+        "mean_obj": float(np.asarray(out.obj).mean()),
+        "final_max_violation": float(np.asarray(out.max_violation).max()),
+    }
+    print(json.dumps(summary, indent=2))
+
+    if args.out:
+        arrays = results.sim_outputs_to_arrays(cfg, out)
+        results.save_npz(args.out, arrays)
+        print(f"saved results to {args.out}", file=sys.stderr)
+    if args.export_json:
+        results.export_reference_json(args.export_json, cfg, data, out)
+        print(f"exported reference-format JSON to {args.export_json}",
+              file=sys.stderr)
+    if args.frames:
+        from scp_tpu.utils.results import sim_outputs_to_arrays
+        from scp_tpu.viz import plot
+
+        arrays = sim_outputs_to_arrays(cfg, out)
+        paths = plot.render_video_frames(cfg, data, arrays, args.frames)
+        print(f"wrote {len(paths)} frames to {args.frames}", file=sys.stderr)
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.BATCH = args.batch
+    bench.HP = args.hp or 20
+    bench.worker()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="scp_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="closed-loop simulation")
+    pr.add_argument("--scenario", choices=["circle", "frog", "parallel"],
+                    default="circle")
+    pr.add_argument("--n-veh", type=int, default=8)
+    pr.add_argument("--steps", type=int, default=0)
+    pr.add_argument("--hp", type=int, default=0)
+    pr.add_argument("--mc", type=int, default=1,
+                    help="Monte-Carlo batch size over noise keys")
+    pr.add_argument("--noise", action="store_true")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--f64", action="store_true")
+    pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--out", default="")
+    pr.add_argument("--export-json", default="")
+    pr.add_argument("--frames", default="")
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="throughput benchmark (one chip)")
+    pb.add_argument("--batch", type=int, default=512)
+    pb.add_argument("--hp", type=int, default=20)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Result persistence: structured array store + reference-format JSON export.
+
+Reference analogue: ``runsimulation``'s JSON dump of 11 arrays
+(main.py:213-231) keyed ``Data/<scenario>_num_<n>_control_<name>[...].json``.
+Here results are stored as compressed ``.npz`` (fast, typed) with an optional
+reference-compatible JSON export so the reference's ``draw_video.py`` tooling
+can consume our runs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def result_path(base_dir: str, scenario: str, n_veh: int, controller: str,
+                noise: bool = False, ext: str = "npz") -> str:
+    suffix = "_with_noise" if noise else ""
+    name = f"{scenario}_num_{n_veh}_control_{controller}{suffix}.{ext}"
+    return os.path.join(base_dir, name)
+
+
+def save_npz(path: str, arrays: Mapping[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def load_npz(path: str) -> dict:
+    with np.load(path) as f:
+        return {k: f[k] for k in f.files}
+
+
+def sim_outputs_to_arrays(cfg, out) -> dict:
+    """Flatten a stacked StepOutput into a plain array dict."""
+    return {
+        "states": np.asarray(out.states),            # (Nsim, tps, V, NX)
+        "u_applied": np.asarray(out.u_applied),      # (Nsim, V)
+        "u_pred": np.asarray(out.u_pred),            # (Nsim, HP, V)
+        "traj_pred": np.asarray(out.traj_pred),      # (Nsim, HP, NY, V)
+        "ref_points": np.asarray(out.ref_points),    # (Nsim, V, HP, 2)
+        "x0_pred": np.asarray(out.x0_pred),
+        "feasible": np.asarray(out.feasible),
+        "converged": np.asarray(out.converged),
+        "obj": np.asarray(out.obj),
+        "max_violation": np.asarray(out.max_violation),
+        "scp_iters": np.asarray(out.scp_iters),
+        "qp_iters": np.asarray(out.qp_iters),
+        "pred_obj": np.asarray(out.pred_obj),
+        "pred_feasible": np.asarray(out.pred_feasible),
+    }
+
+
+def export_reference_json(path: str, cfg, data, out) -> None:
+    """Export in the reference's result schema (main.py:213-224 keys).
+
+    Full-resolution paths are reconstructed from the per-step tick states;
+    entries the engine does not track (delay-compensation trajectories per
+    step) are filled with the prediction states.
+    """
+    arrays = sim_outputs_to_arrays(cfg, out)
+    n_sim, tps, n_veh, nx = arrays["states"].shape
+    # (NX, V, ticks+1) like vehiclePathFullRes
+    ticks = n_sim * tps
+    veh_path = np.zeros((nx, n_veh, ticks + 1))
+    veh_path[:, :, 0] = np.asarray(data.x0).T
+    veh_path[:, :, 1:] = arrays["states"].reshape(ticks, n_veh, nx).transpose(2, 1, 0)
+    ctrl_path = np.zeros((n_veh, ticks + 1))
+    ctrl_path[:, 1:] = np.repeat(arrays["u_applied"], tps, axis=0).T
+
+    payload = {
+        "vehiclePathFullRes": veh_path.tolist(),
+        "controlPathFullRes": ctrl_path.tolist(),
+        "controlPredictions": arrays["u_pred"].transpose(1, 2, 0).tolist(),
+        "trajectoryPredictions": arrays["traj_pred"].transpose(1, 2, 3, 0).tolist(),
+        "ReferenceTrajectory": arrays["ref_points"].transpose(2, 3, 1, 0).tolist(),
+        "evaluations_obj_value": arrays["pred_obj"].tolist(),
+        "stepTime": [0.0] * n_sim,
+        "controllerRuntime": [0.0] * n_sim,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f)

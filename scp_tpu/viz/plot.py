@@ -1,0 +1,105 @@
+"""Visualization from logged simulation arrays (host-side, not jitted).
+
+Reference analogues: ``plotOnline.py`` (live per-step view: steering
+staircases, trajectory/scenario view with references, predictions, vehicle
+and obstacle rectangles) and ``draw_video.py`` (offline JSON -> per-step PNG
+frames). Rendering consumes the engine's stacked ``StepOutput`` arrays; no
+device work involved.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from scp_tpu.scenarios.builders import (OBST_HEADING, OBST_LENGTH, OBST_SPEED,
+                                        OBST_WIDTH, OBST_X, OBST_Y)
+
+
+def transformed_rectangle(x: float, y: float, angle: float, length: float,
+                          width: float) -> np.ndarray:
+    """Corner coordinates (5, 2) of a centered, rotated rectangle — the
+    homogeneous-transform unit square of ``plotOnline.transformedRectangle``
+    (plotOnline.py:120-132)."""
+    c, s = math.cos(angle), math.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    half = np.array([
+        [-length / 2, -width / 2], [length / 2, -width / 2],
+        [length / 2, width / 2], [-length / 2, width / 2],
+        [-length / 2, -width / 2]])
+    return half @ rot.T + np.array([x, y])
+
+
+def obstacle_position(obstacles: np.ndarray, t: float) -> np.ndarray:
+    """Constant-velocity obstacle centers at time t. obstacles: (O, 6)."""
+    heading = obstacles[:, OBST_HEADING]
+    vel = obstacles[:, OBST_SPEED, None] * np.stack(
+        [np.cos(heading), np.sin(heading)], axis=-1)
+    return obstacles[:, [OBST_X, OBST_Y]] + t * vel
+
+
+def plot_step(ax, cfg, data, arrays: dict, step: int):
+    """Draw one simulation step into a matplotlib axes.
+
+    arrays: output of ``utils.results.sim_outputs_to_arrays``.
+    """
+    states = arrays["states"]          # (Nsim, tps, V, NX)
+    traj_pred = arrays["traj_pred"]    # (Nsim, HP, NY, V)
+    refs = arrays["ref_points"]        # (Nsim, V, HP, 2)
+    n_veh = states.shape[2]
+    obstacles = np.asarray(data.obstacles)
+
+    ax.clear()
+    # driven path up to now
+    past = states[: step + 1, :, :, :2].reshape(-1, n_veh, 2)
+    for v in range(n_veh):
+        ax.plot(past[:, v, 0], past[:, v, 1], "-", lw=1, alpha=0.6)
+        ax.plot(refs[step, v, :, 0], refs[step, v, :, 1], ".", ms=3)
+        ax.plot(traj_pred[step, :, 0, v], traj_pred[step, :, 1, v], "--", lw=1)
+        x, y, ang = states[step, -1, v, 0], states[step, -1, v, 1], states[step, -1, v, 2]
+        rect = transformed_rectangle(
+            x, y, ang, float(data.params.length[v]), float(data.params.width[v]))
+        ax.plot(rect[:, 0], rect[:, 1], "k-", lw=1)
+    if len(obstacles):
+        t = (step + 1) * cfg.dt
+        centers = obstacle_position(obstacles, t)
+        for o in range(len(obstacles)):
+            rect = transformed_rectangle(
+                centers[o, 0], centers[o, 1], obstacles[o, OBST_HEADING],
+                obstacles[o, OBST_LENGTH], obstacles[o, OBST_WIDTH])
+            ax.plot(rect[:, 0], rect[:, 1], "r-", lw=1)
+    ax.set_aspect("equal")
+    ax.set_title(f"step {step}")
+
+
+def plot_steering(ax_list, cfg, arrays: dict, step: int):
+    """Per-vehicle predicted steering staircases (plotOnline.py:24-66)."""
+    u_pred = arrays["u_pred"]          # (Nsim, HP, V)
+    n_veh = u_pred.shape[2]
+    for v in range(min(n_veh, len(ax_list))):
+        ax = ax_list[v]
+        ax.clear()
+        ax.step(range(cfg.hp), np.degrees(u_pred[step, :, v]), where="post")
+        ax.set_ylabel(f"u_{v + 1} [deg]")
+
+
+def render_video_frames(cfg, data, arrays: dict, out_dir: str,
+                        steps=None) -> list:
+    """Offline per-step PNG frames (draw_video.py:86-124 equivalent)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_sim = arrays["states"].shape[0]
+    steps = range(n_sim) if steps is None else steps
+    paths = []
+    fig, ax = plt.subplots(figsize=(7, 7))
+    for i in steps:
+        plot_step(ax, cfg, data, arrays, i)
+        p = os.path.join(out_dir, f"{i:04d}.png")
+        fig.savefig(p, dpi=90)
+        paths.append(p)
+    plt.close(fig)
+    return paths
