@@ -20,7 +20,7 @@ import subprocess
 import sys
 import time
 
-BATCH = 512
+BATCH = 256
 N_VEH = 4
 HP = 20
 BASELINE_SOLVES_PER_SEC_CHIP = 1250.0  # 10k on v5e-8 / 8 chips

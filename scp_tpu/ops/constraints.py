@@ -40,13 +40,24 @@ class ConstraintSystem(NamedTuple):
     dsafe2_obst: jax.Array  # (V, O) (dsafe_obst + extra)^2
     pair_i: jax.Array       # (P,) static pair indices (i < j)
     pair_j: jax.Array       # (P,)
+    pair_mask: jax.Array    # (P,)   1.0 = coupled pair, 0.0 = ignored
+    obst_mask: jax.Array    # (V, O) 1.0 = active obstacle constraint
 
 
 def make_system(math_b, const_term, obst_pos, dsafe_veh, dsafe_obst,
-                dsafe_extra, hp: int, hu: int) -> ConstraintSystem:
+                dsafe_extra, hp: int, hu: int,
+                coupling: jax.Array | None = None,
+                obst_coupling: jax.Array | None = None) -> ConstraintSystem:
     """Assemble the structured system from per-vehicle condensed matrices.
 
     math_b: (V, hp*NY, hu), const_term: (V, hp*NY), obst_pos: (O, hp, NY).
+
+    ``coupling`` is an optional (V, V) adjacency matrix selecting which
+    vehicle pairs are constrained — the working TPU equivalent of the
+    reference's computed-but-unused coupling topology matrices
+    (Scenarios.py:194-198,220-227): masked pairs cost nothing to drop from
+    the fixed-shape batch. ``obst_coupling`` (V, O) does the same for
+    vehicle-obstacle constraints.
     """
     v = math_b.shape[0]
     b3 = math_b.reshape(v, hp, NY, hu)
@@ -54,8 +65,18 @@ def make_system(math_b, const_term, obst_pos, dsafe_veh, dsafe_obst,
     iu, ju = jnp.triu_indices(v, k=1)
     dsafe2_pair = (dsafe_veh[iu, ju] + dsafe_extra) ** 2
     dsafe2_obst = (dsafe_obst + dsafe_extra) ** 2
+    dtype = math_b.dtype
+    if coupling is None:
+        pair_mask = jnp.ones((iu.shape[0],), dtype)
+    else:
+        cm = coupling.astype(dtype)
+        pair_mask = jnp.maximum(cm[iu, ju], cm[ju, iu])
+    if obst_coupling is None:
+        obst_mask = jnp.ones(dsafe2_obst.shape, dtype)
+    else:
+        obst_mask = obst_coupling.astype(dtype)
     return ConstraintSystem(b3, const3, obst_pos, dsafe2_pair, dsafe2_obst,
-                            iu, ju)
+                            iu, ju, pair_mask, obst_mask)
 
 
 def positions(sys: ConstraintSystem, u: jax.Array) -> jax.Array:
@@ -113,6 +134,13 @@ def linearize(sys: ConstraintSystem, u: jax.Array):
     gdotu_obst = jnp.einsum("voku,vu->vok", gv, uv)
     rhs_obst = gdotu_obst - c_obst
 
+    # Coupling masks: dropped constraints become 0·u <= big (trivially slack).
+    big = jnp.asarray(1e10, u.dtype)
+    g_pair = g_pair * sys.pair_mask[:, None, None, None]
+    rhs_pair = jnp.where(sys.pair_mask[:, None] > 0, rhs_pair, big)
+    g_obst = g_obst * sys.obst_mask[:, :, None, None, None]
+    rhs_obst = jnp.where(sys.obst_mask[:, :, None] > 0, rhs_obst, big)
+
     G = jnp.concatenate([
         g_pair.reshape(-1, n),
         g_obst.reshape(-1, n),
@@ -143,8 +171,9 @@ def evaluate(sys: ConstraintSystem, u: jax.Array, tol: float,
     c_pair, c_obst = constraint_values(sys, u)
     n_veh = sys.b3.shape[0]
 
-    pair_viol = jnp.where(c_pair > tol, c_pair, 0.0)
-    obst_viol = jnp.where(c_obst > tol, c_obst, 0.0)
+    pair_viol = jnp.where(c_pair > tol, c_pair, 0.0) * sys.pair_mask[:, None]
+    obst_viol = jnp.where(c_obst > tol, c_obst, 0.0) \
+        * sys.obst_mask[:, :, None]
 
     if compat_q5 and n_veh == 1:
         obst_mask = jnp.zeros_like(obst_viol)

@@ -85,12 +85,17 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     reg_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 3e-6, dtype)
     eye_n = jnp.eye(n, dtype=dtype)
 
-    def kkt_solve(x, s, z, rd, rp, rc):
+    def factor(s, z):
+        """Cholesky of the condensed KKT matrix — ONE factorization per IPM
+        iteration, shared by the predictor and corrector solves."""
         w = z / s
         K = P_s + (ghat_s.T * w[None, :]) @ ghat_s
         reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
         K = K + reg * eye_n
-        L = jnp.linalg.cholesky(K)
+        return jnp.linalg.cholesky(K)
+
+    def kkt_solve(L, s, z, rd, rp, rc):
+        w = z / s
         rhs = -(rd + ghat_s.T @ (w * rp - rc / s))
         y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
         dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
@@ -109,9 +114,11 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         rp = ghat_s @ x + s - hhat_s
         mu = jnp.dot(s, z) / m
 
+        L = factor(s, z)
+
         # predictor (affine)
         rc_aff = s * z
-        dx_a, ds_a, dz_a = kkt_solve(x, s, z, rd, rp, rc_aff)
+        dx_a, ds_a, dz_a = kkt_solve(L, s, z, rd, rp, rc_aff)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
@@ -119,7 +126,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 
         # corrector
         rc = s * z + ds_a * dz_a - sigma * mu
-        dx, ds, dz = kkt_solve(x, s, z, rd, rp, rc)
+        dx, ds, dz = kkt_solve(L, s, z, rd, rp, rc)
         alpha_p = max_step(s, ds)
         alpha_d = max_step(z, dz)
         alpha = jnp.minimum(alpha_p, alpha_d)

@@ -141,6 +141,31 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                      qp_iters=out.qp_iters)
 
 
+def solve_scp_multistart(problem: SCPProblem, u_init: jax.Array, *,
+                         u_lim: float, **kw) -> SCPResult:
+    """Multi-start SCP: warm start plus saturated-left/right restarts.
+
+    The reference's single-vehicle infeasibility fallback
+    (SCP_controller.py:51-66) retries from all-left / all-right saturated
+    controls but is dead code (it unpacks 3 of 4 return values). Here the
+    restarts are a free ``vmap`` over 3 candidate starts; the feasible result
+    with the lowest objective wins (warm start wins ties).
+    """
+    n = u_init.shape[0]
+    starts = jnp.stack([
+        u_init,
+        jnp.full((n,), u_lim, u_init.dtype),
+        jnp.full((n,), -u_lim, u_init.dtype),
+    ])
+    res = jax.vmap(lambda u0: solve_scp(problem, u0, u_lim=u_lim, **kw))(starts)
+    # Order candidates: feasible first, then objective; prefer earlier starts.
+    big = jnp.asarray(jnp.finfo(u_init.dtype).max, u_init.dtype)
+    score = jnp.where(res.feasible, res.obj, big) \
+        + jnp.arange(3, dtype=u_init.dtype) * 1e-6
+    best = jnp.argmin(score)
+    return jax.tree_util.tree_map(lambda x: x[best], res)
+
+
 def forward_u(sys: con.ConstraintSystem, u: jax.Array):
     """Predicted trajectory and per-vehicle controls (``forward_U``,
     SCP_controller.py:199-213). Returns (traj (hp, NY, V), U (hp, V))."""
