@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scp_tpu.ops import linalg
+
 
 class QPSolution(NamedTuple):
     x: jax.Array           # (n,) primal solution
@@ -92,13 +94,15 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         K = P_s + (ghat_s.T * w[None, :]) @ ghat_s
         reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
         K = K + reg * eye_n
-        return jnp.linalg.cholesky(K)
+        return linalg.blocked_cholesky(K)
 
     def kkt_solve(L, s, z, rd, rp, rc):
         w = z / s
         rhs = -(rd + ghat_s.T @ (w * rp - rc / s))
-        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        # blocked_cho_solve, not plain solve_triangular: XLA's TPU lowering
+        # of triangular solves >64x64 exhausts scoped VMEM
+        # (see scp_tpu/ops/linalg.py).
+        dx = linalg.blocked_cho_solve(L, rhs)
         dz = w * (ghat_s @ dx + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
