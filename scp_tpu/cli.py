@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU f32 matmuls default to bfloat16 passes — unusable for the solver path.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def _build(args, dtype):
     from scp_tpu.scenarios import builders

@@ -68,6 +68,7 @@ class SCPConfig:
     max_scp_iter: int = 20
     delta_tol: float = 1e-3
     delta_tol_rel: float = 0.0   # relative merit stop (needed for float32)
+    u_step_tol: float = 0.0      # scale-free iterate-step stop (radians)
     slack_weight: float = 1e5              # psi_omega_weight, exact-penalty weight
     slack_ub: float = 1e8                  # reference uses 1e25; clamped for f32
     constraint_tolerance: float = 2 * 2.1 * 1e-3  # Config.py:18

@@ -210,6 +210,7 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         problem, carry.u_warm,
         u_lim=cfg.u_lim, max_scp_iter=cfg.max_scp_iter,
         delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
+        u_step_tol=cfg.u_step_tol,
         slack_weight=cfg.slack_weight,
         slack_ub=cfg.slack_ub,
         constraint_tolerance=cfg.constraint_tolerance,

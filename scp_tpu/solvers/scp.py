@@ -40,6 +40,7 @@ class SCPResult(NamedTuple):
     max_violation: jax.Array
     iters: jax.Array          # SCP iterations used
     qp_iters: jax.Array       # total inner-QP iterations
+    qp_fails: jax.Array       # inner QPs that did not reach tolerance
 
 
 def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
@@ -47,6 +48,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               max_scp_iter: int = 20,
               delta_tol: float = 1e-3,
               delta_tol_rel: float = 0.0,
+              u_step_tol: float = 0.0,
               slack_weight: float = 1e5,
               slack_ub: float = 1e8,
               constraint_tolerance: float = 2 * 2.1 * 1e-3,
@@ -59,7 +61,9 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
     (SCP_controller.py:83). In float32 the merit carries ~1e-7 relative
     noise, so absolute 1e-3 can be unreachable when the objective is ~1e5;
     set ``delta_tol_rel`` (e.g. 1e-5) to stop once the decrease is small
-    *relative to the merit* as well.
+    *relative to the merit*, and/or ``u_step_tol`` (radians, e.g. 1e-5) to
+    stop when the iterate itself has stopped moving — the scale-free
+    criterion that works at any objective magnitude.
     """
     sys = problem.sys
     dtype = u_init.dtype
@@ -100,10 +104,12 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         done: jax.Array
         it: jax.Array
         qp_iters: jax.Array
+        qp_fails: jax.Array
 
     init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
                  feasible=ev0.feasible, done=jnp.array(False),
-                 it=jnp.array(0), qp_iters=jnp.array(0))
+                 it=jnp.array(0), qp_iters=jnp.array(0),
+                 qp_fails=jnp.array(0))
 
     def body(c: Carry) -> Carry:
         G_c, rhs = con.linearize(sys, c.u)
@@ -124,13 +130,17 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         delta = merit_prev - merit_new
         thresh = delta_tol + delta_tol_rel * jnp.abs(merit_new)
         small_delta = (jnp.abs(delta) < thresh) | ~ok
+        if u_step_tol > 0:
+            small_step = jnp.max(jnp.abs(u_new - c.u)) < u_step_tol
+            small_delta = small_delta | small_step
         if single_veh:
             stop = small_delta  # both reference break branches fire
         else:
             stop = small_delta & (ev.max_violation <= constraint_tolerance)
         return Carry(
             u=u_new, obj=obj_new, viol=ev.max_violation, feasible=ev.feasible,
-            done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters)
+            done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters,
+            qp_fails=c.qp_fails + jnp.where(sol.converged, 0, 1))
 
     def cond(c: Carry):
         return (c.it < max_scp_iter) & (~c.done)
@@ -138,7 +148,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
     out = jax.lax.while_loop(cond, body, init)
     return SCPResult(u=out.u, feasible=out.feasible, converged=out.done,
                      obj=out.obj, max_violation=out.viol, iters=out.it,
-                     qp_iters=out.qp_iters)
+                     qp_iters=out.qp_iters, qp_fails=out.qp_fails)
 
 
 def solve_scp_multistart(problem: SCPProblem, u_init: jax.Array, *,
