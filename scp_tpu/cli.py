@@ -31,6 +31,8 @@ def _build(args, dtype):
         kw["n_veh"] = args.n_veh
     cfg, data = builders.BUILDERS[args.scenario](dtype=dtype, **kw)
     overrides = {}
+    if getattr(args, "controller", "scp") != "scp":
+        overrides["controller"] = args.controller
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if args.noise:
@@ -118,6 +120,8 @@ def main(argv=None):
     pr.add_argument("--mc", type=int, default=1,
                     help="Monte-Carlo batch size over noise keys")
     pr.add_argument("--noise", action="store_true")
+    pr.add_argument("--controller", choices=["scp", "side_selection"],
+                    default="scp")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--f64", action="store_true")
     pr.add_argument("--cpu", action="store_true")

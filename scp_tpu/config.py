@@ -97,6 +97,11 @@ class SCPConfig:
     # Noise (Model.py:84-87): std of the white noise on dx, dy.
     noise_std: float = 0.0
 
+    # Controller: "scp" (SCP_controller.py) or "side_selection" (the convex
+    # replacement of the big-M MIQP, see scp_tpu/solvers/miqp.py).
+    controller: str = "scp"
+    side_selection_rounds: int = 2
+
     # ---- derived tick quantities (reference Scenarios.py:204-214) ----
     @property
     def ticks_per_sim(self) -> int:

@@ -200,22 +200,41 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         A, B, E, x0, ref_stack, data.params.q, data.params.r,
         data.params.q_final, cfg.hp, cfg.hu)
 
-    # --- SCP solve ---
+    # --- controller solve ---
     sys_ = con.make_system(cm.math_b, cm.const_term, obst_pos,
                            data.dsafe_veh, data.dsafe_obst,
                            cfg.dsafe_extra, cfg.hp, cfg.hu)
-    problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
-                             gamma0=cm.gamma0)
-    res = scp.solve_scp(
-        problem, carry.u_warm,
-        u_lim=cfg.u_lim, max_scp_iter=cfg.max_scp_iter,
-        delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
-        u_step_tol=cfg.u_step_tol,
-        slack_weight=cfg.slack_weight,
-        slack_ub=cfg.slack_ub,
-        constraint_tolerance=cfg.constraint_tolerance,
-        qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
-        compat_q5=cfg.compat_q5)
+    if cfg.controller == "scp":
+        problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
+                                 gamma0=cm.gamma0)
+        res = scp.solve_scp(
+            problem, carry.u_warm,
+            u_lim=cfg.u_lim, max_scp_iter=cfg.max_scp_iter,
+            delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
+            u_step_tol=cfg.u_step_tol,
+            slack_weight=cfg.slack_weight,
+            slack_ub=cfg.slack_ub,
+            constraint_tolerance=cfg.constraint_tolerance,
+            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+            compat_q5=cfg.compat_q5)
+    elif cfg.controller == "side_selection":
+        from scp_tpu.solvers import miqp
+
+        ss = miqp.solve_side_selection(
+            sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
+            carry.u_prev1, u_max, carry.u_warm,
+            du_lim=cfg.u_lim,
+            slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
+            constraint_tolerance=cfg.constraint_tolerance,
+            n_rounds=cfg.side_selection_rounds,
+            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol)
+        res = scp.SCPResult(
+            u=ss.u, feasible=ss.feasible, converged=ss.converged,
+            obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
+            iters=ss.rounds, qp_iters=jnp.asarray(0),
+            qp_fails=jnp.asarray(0))
+    else:
+        raise ValueError(f"unknown controller {cfg.controller!r}")
 
     traj_pred, U_raw = scp.forward_u(sys_, res.u)
     U = clamp_controls(cfg, U_raw, carry.u_prev1, u_max)
