@@ -46,8 +46,8 @@ def worker():
     cfg, data = batch_lib.make_batch(
         "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
         n_veh=N_VEH)
-    cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5, qp_tol=1e-6,
-                      qp_max_iter=25)
+    cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
+                      qp_tol=1e-6, qp_fixed_iters=14)
 
     def step(d, carry):
         new_carry, out = engine.mpc_step(cfg, d, carry)

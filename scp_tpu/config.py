@@ -80,6 +80,8 @@ class SCPConfig:
     # Inner QP solver
     qp_max_iter: int = 30
     qp_tol: float = 1e-7
+    qp_fixed_iters: int = 0   # >0: run exactly this many IPM iterations
+    qp_cheap_k: bool = False  # form KKT matrix with fast bf16 matmul
 
     # Integration substeps: RK4 steps per tick for plant / delay compensation.
     rk4_substeps: int = 1

@@ -216,6 +216,8 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
             slack_ub=cfg.slack_ub,
             constraint_tolerance=cfg.constraint_tolerance,
             qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+            qp_fixed_iters=cfg.qp_fixed_iters or None,
+            qp_cheap_k=cfg.qp_cheap_k,
             compat_q5=cfg.compat_q5)
     elif cfg.controller == "side_selection":
         from scp_tpu.solvers import miqp

@@ -49,10 +49,24 @@ def _build_ghat(G, h, lb, ub):
 
 
 def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
-             x0=None) -> QPSolution:
+             x0=None, fixed_iters: int | None = None,
+             cheap_k: bool = False,
+             use_pallas: bool | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
 
     P: (n, n) PSD, q: (n,), G: (m, n), h: (m,), lb/ub: (n,).
+
+    ``fixed_iters``: run exactly that many Mehrotra iterations with NO
+    per-iteration convergence reductions (a ``fori_loop``). Under a big vmap
+    the while-loop convergence checks cost reductions every round and the
+    batch runs to the slowest instance anyway, so a calibrated fixed count
+    (12-15 in f32) is faster at equal solution quality. The post-hoc
+    certificate is still computed.
+
+    ``cheap_k``: form the KKT matrix with the TPU's fast single-pass bf16
+    matmul. The Newton direction becomes slightly inexact, but the residuals
+    (which drive convergence) stay full-precision — classic inexact Newton.
+    Saves the 6x multi-pass cost on the dominant m*n^2 contraction.
     """
     dtype = P.dtype
     n = q.shape[0]
@@ -87,22 +101,35 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     reg_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 3e-6, dtype)
     eye_n = jnp.eye(n, dtype=dtype)
 
+    k_precision = (jax.lax.Precision.DEFAULT if cheap_k
+                   else jax.lax.Precision.HIGHEST)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from scp_tpu.ops import pallas_linalg
+        chol_fn = pallas_linalg.cholesky
+        solve_fn = pallas_linalg.cho_solve
+    else:
+        chol_fn = linalg.blocked_cholesky
+        solve_fn = linalg.blocked_cho_solve
+
     def factor(s, z):
         """Cholesky of the condensed KKT matrix — ONE factorization per IPM
         iteration, shared by the predictor and corrector solves."""
         w = z / s
-        K = P_s + (ghat_s.T * w[None, :]) @ ghat_s
+        K = P_s + jnp.matmul(ghat_s.T * w[None, :], ghat_s,
+                             precision=k_precision)
         reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
         K = K + reg * eye_n
-        return linalg.blocked_cholesky(K)
+        return chol_fn(K)
 
     def kkt_solve(L, s, z, rd, rp, rc):
         w = z / s
         rhs = -(rd + ghat_s.T @ (w * rp - rc / s))
-        # blocked_cho_solve, not plain solve_triangular: XLA's TPU lowering
-        # of triangular solves >64x64 exhausts scoped VMEM
-        # (see scp_tpu/ops/linalg.py).
-        dx = linalg.blocked_cho_solve(L, rhs)
+        # Pallas batched kernel on TPU; blocked recursion elsewhere (XLA's
+        # TPU triangular_solve >64x64 exhausts scoped VMEM — see
+        # scp_tpu/ops/linalg.py and ops/pallas_linalg.py).
+        dx = solve_fn(L, rhs)
         dz = w * (ghat_s @ dx + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
@@ -112,8 +139,9 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, 0.99 * jnp.min(ratio))
 
-    def body(state):
-        x, s, z, it, _ = state
+    def iterate(x, s, z):
+        """One Mehrotra predictor-corrector step. Returns updated (x, s, z)
+        and the pre-step mu."""
         rd = P_s @ x + q_s + ghat_s.T @ z
         rp = ghat_s @ x + s - hhat_s
         mu = jnp.dot(s, z) / m
@@ -146,19 +174,38 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         x = jnp.where(ok, x_new, x)
         s = jnp.where(ok, s_new, s)
         z = jnp.where(ok, z_new, z)
-        mu_new = jnp.dot(s, z) / m
-        stop = ((mu_new < tol)
-                & (jnp.linalg.norm(rp) / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 10)
-                & (jnp.linalg.norm(rd) / (1.0 + jnp.linalg.norm(q_s)) < tol * 10)) \
-            | ~ok
-        return x, s, z, it + 1, stop
+        return x, s, z, mu, rp, rd, ok
 
-    def cond(state):
-        _, _, _, it, stop = state
-        return (it < max_iter) & (~stop)
+    if fixed_iters is not None:
+        def fori_body(_, state):
+            x, s, z = state
+            x, s, z, *_ = iterate(x, s, z)
+            return (x, s, z)
 
-    x, s, z, iters, _ = jax.lax.while_loop(
-        cond, body, (x, s, z, jnp.array(0), jnp.array(False)))
+        x, s, z = jax.lax.fori_loop(0, fixed_iters, fori_body, (x, s, z))
+        iters = jnp.array(fixed_iters)
+    else:
+        def body(state):
+            x, s, z, it, _ = state
+            x, s, z, mu, rp, rd, ok = iterate(x, s, z)
+            mu_new = jnp.dot(s, z) / m
+            converged_now = ((mu_new < tol)
+                             & (jnp.linalg.norm(rp) / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 10)
+                             & (jnp.linalg.norm(rd) / (1.0 + jnp.linalg.norm(q_s)) < tol * 10))
+            # Stall exit: in f32 the complementarity floor can sit above
+            # ``tol``; once mu stops improving meaningfully below a loose
+            # ceiling, further iterations only burn lockstep time for the
+            # whole vmapped batch.
+            stalled = (mu_new > 0.7 * mu) & (mu_new < tol * 1e3)
+            stop = converged_now | stalled | ~ok
+            return x, s, z, it + 1, stop
+
+        def cond(state):
+            _, _, _, it, stop = state
+            return (it < max_iter) & (~stop)
+
+        x, s, z, iters, _ = jax.lax.while_loop(
+            cond, body, (x, s, z, jnp.array(0), jnp.array(False)))
 
     # Honest post-hoc convergence certificate (stalls don't count).
     mu_f = jnp.dot(s, z) / m

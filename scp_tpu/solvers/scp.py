@@ -54,6 +54,8 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               constraint_tolerance: float = 2 * 2.1 * 1e-3,
               qp_max_iter: int = 30,
               qp_tol: float = 1e-8,
+              qp_fixed_iters: int | None = None,
+              qp_cheap_k: bool = False,
               compat_q5: bool = True) -> SCPResult:
     """Solve one SCP instance. Shapes are static; vmap for batches.
 
@@ -116,7 +118,8 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         G = jnp.concatenate([G_c, slack_col], axis=1)
         x0 = jnp.concatenate([c.u, jnp.zeros((1,), dtype)])
         sol = qp.solve_qp(P_qp, q_qp, G, rhs, lb, ub,
-                          max_iter=qp_max_iter, tol=qp_tol, x0=x0)
+                          max_iter=qp_max_iter, tol=qp_tol, x0=x0,
+                          fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k)
         # NaN guard: a diverged inner solve must not poison the iterate.
         ok = jnp.all(jnp.isfinite(sol.x))
         u_new = jnp.where(ok, sol.x[:n], c.u)
