@@ -21,6 +21,12 @@ import numpy as np
 
 # TPU f32 matmuls default to bfloat16 passes — unusable for the solver path.
 jax.config.update("jax_default_matmul_precision", "highest")
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.path.join(_os.path.dirname(_os.path.dirname(
+                      _os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def _build(args, dtype):
@@ -38,8 +44,10 @@ def _build(args, dtype):
     if args.noise:
         overrides["noise_std"] = 3e-6 * 100  # reference per-eval std, per-tick
     if dtype == jnp.float32:
-        overrides.setdefault("delta_tol_rel", 1e-5)
+        overrides.setdefault("delta_tol_rel", 1e-4)
+        overrides.setdefault("u_step_tol", 1e-5)
         overrides.setdefault("qp_tol", 1e-6)
+        overrides.setdefault("qp_fixed_iters", 14)
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg, data

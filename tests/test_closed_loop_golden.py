@@ -62,3 +62,22 @@ def test_closed_loop_circle_3veh():
     # SCP diagnostics sane
     assert bool(jnp.all(out.feasible))
     assert bool(jnp.all(out.converged))
+
+
+def test_closed_loop_circle_8veh_short():
+    """Headline 8-vehicle circle (main.py:238-244 default), 2 steps."""
+    n_veh, n_steps = 8, 2
+    sc, sim = run_reference_sim(n_veh, n_steps)
+
+    cfg, data = builders.circle(n_veh)
+    cfg = cfg.replace(rk4_substeps=2)
+    carry, out = engine.simulate(cfg, data, n_steps=n_steps)
+
+    ref_u = sim.controlPredictions[0, :, :n_steps].T
+    np.testing.assert_allclose(np.asarray(out.u_applied), ref_u,
+                               rtol=1e-4, atol=1e-6)
+    tps = sc.ticks_per_sim
+    for i in range(n_steps):
+        ref_state = sim.vehiclePathFullRes[:, :, (i + 1) * tps].T
+        np.testing.assert_allclose(np.asarray(out.states[i, -1]), ref_state,
+                                   rtol=1e-4, atol=5e-5, err_msg=f"step {i}")

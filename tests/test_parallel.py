@@ -54,3 +54,16 @@ def test_monte_carlo_noise_vmap():
     # noise makes rollouts differ across keys
     assert np.abs(states[0] - states[1]).max() > 0
     assert np.all(np.isfinite(states))
+
+
+def test_distributed_sweep_8dev():
+    from scp_tpu.parallel import distributed
+    cfg, data = batch_lib.make_batch("circle", 16, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=2, qp_max_iter=8)
+    m = distributed.global_mesh()
+    carries, summary = distributed.sweep(cfg, data, m, n_steps=2)
+    total_obj, total_feas, total_iters = summary
+    assert total_obj.shape == (2,)       # per-step reduced metrics
+    assert float(total_feas[-1]) == 16.0  # all instances feasible
+    assert np.all(np.isfinite(np.asarray(carries.state)))
