@@ -101,8 +101,12 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     reg_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 3e-6, dtype)
     eye_n = jnp.eye(n, dtype=dtype)
 
+    # HIGH = 3-pass bf16 (~2^-21 effective mantissa) is enough for the KKT
+    # matrix: the Newton direction tolerates ~1e-6 relative error while the
+    # residuals (computed at HIGHEST) drive convergence. Single-pass bf16
+    # (cheap_k) was measured to break SCP convergence.
     k_precision = (jax.lax.Precision.DEFAULT if cheap_k
-                   else jax.lax.Precision.HIGHEST)
+                   else jax.lax.Precision.HIGH)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
