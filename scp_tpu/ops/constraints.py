@@ -195,6 +195,53 @@ def evaluate(sys: ConstraintSystem, u: jax.Array, tol: float,
     return Violations(feasible, max_violation, sum_violations, c_pair, c_obst)
 
 
+def penalty_score(sys: ConstraintSystem, phi0, psi0, gamma0, u: jax.Array,
+                  c_quad: float = 1e9, c_linear: float = 0.0,
+                  compat_q5: bool = True):
+    """Exact-penalty feasibility score and its gradient.
+
+    Reference ``QCQP_evaluate``'s ``feasibilityScore`` /
+    ``feasibilityScoreGradient`` (SCP_controller.py:216-258):
+    ``objective + sum_i [c_quad * max(ci, 0)^2 + c_linear * max(ci, 0)]``
+    with the gradient accumulated only over violated constraints. With
+    ``compat_q5`` the reference's loop nesting is reproduced: with one
+    vehicle obstacle terms are skipped, with n > 2 each obstacle term is
+    counted ``nVeh - 1 - v`` times.
+    """
+    v, k, _, hu = sys.b3.shape
+    uv = u.reshape(v, hu)
+    pos = positions(sys, u)
+    obj = objective(phi0, psi0, gamma0, u)
+    grad_obj = jnp.einsum("vuw,vw->vu", 2.0 * phi0, uv) + psi0  # (V, hu)
+
+    d_pair = pos[sys.pair_i] - pos[sys.pair_j]
+    c_pair = sys.dsafe2_pair[:, None] - jnp.sum(d_pair**2, -1)
+    cp = jnp.maximum(c_pair, 0.0)
+    d_obst = pos[:, None] - sys.obst_pos[None]
+    c_obst = sys.dsafe2_obst[:, :, None] - jnp.sum(d_obst**2, -1)
+    co = jnp.maximum(c_obst, 0.0)
+
+    if compat_q5:
+        mult = jnp.maximum(v - 1 - jnp.arange(v, dtype=u.dtype), 0.0)
+    else:
+        mult = jnp.ones((v,), u.dtype)
+    score = obj + c_quad * (jnp.sum(cp**2) + jnp.einsum("v,vok->", mult, co**2)) \
+        + c_linear * (jnp.sum(cp) + jnp.einsum("v,vok->", mult, co))
+
+    # gradient of each violated constraint: d ci/d u_i = -2 B_i^T d, etc.
+    wp = jnp.where(c_pair > 0, 2.0 * c_quad * c_pair + c_linear, 0.0)  # (P,K)
+    gi = -2.0 * jnp.einsum("pk,pky,pkyu->pu", wp, d_pair, sys.b3[sys.pair_i])
+    gj = 2.0 * jnp.einsum("pk,pky,pkyu->pu", wp, d_pair, sys.b3[sys.pair_j])
+    grad = grad_obj
+    grad = grad.at[sys.pair_i].add(gi)
+    grad = grad.at[sys.pair_j].add(gj)
+    wo = jnp.where(c_obst > 0, 2.0 * c_quad * c_obst + c_linear, 0.0)
+    wo = wo * mult[:, None, None]
+    go = -2.0 * jnp.einsum("vok,voky,vkyu->vu", wo, d_obst, sys.b3)
+    grad = grad + go
+    return score, grad.reshape(v * hu)
+
+
 def objective(phi0, psi0, gamma0, u: jax.Array) -> jax.Array:
     """Tracking objective u^T Phi0 u + Psi0^T u + gamma0 with block-diagonal
     per-vehicle Phi0 (SCP_controller.py:227, 293-298).

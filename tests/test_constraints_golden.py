@@ -123,3 +123,32 @@ def test_constraint_values_and_rows_frog():
     G, rhs = con.linearize(sys_, jnp.array(u[:, 0]))
     np.testing.assert_allclose(np.asarray(G), A_ref, rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(rhs), b_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_penalty_score_gradient_matches_reference():
+    ref, sc, it, ctrl = build_ref_controller("circle", 4)
+    sys_, phi0, psi0, gamma0 = build_my_system(sc, it, ctrl)
+    rng = np.random.default_rng(9)
+    # push vehicles into violation so penalty terms activate
+    u = rng.uniform(-0.05, 0.05, size=(sc.nVeh * sc.Hp, 1))
+    (_, _, score_ref, grad_ref, *_rest) = ctrl.QCQP_evaluate(u)
+    score, grad = con.penalty_score(sys_, phi0, psi0, gamma0,
+                                    jnp.array(u[:, 0]))
+    np.testing.assert_allclose(float(score), np.asarray(score_ref).item(),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref)[:, 0],
+                               rtol=1e-7, atol=1e-6)
+
+
+def test_penalty_score_gradient_frog_q5():
+    ref, sc, it, ctrl = build_ref_controller("frog", 1)
+    sys_, phi0, psi0, gamma0 = build_my_system(sc, it, ctrl)
+    rng = np.random.default_rng(10)
+    u = rng.uniform(-0.05, 0.05, size=(sc.nVeh * sc.Hp, 1))
+    (_, _, score_ref, grad_ref, *_rest) = ctrl.QCQP_evaluate(u)
+    score, grad = con.penalty_score(sys_, phi0, psi0, gamma0,
+                                    jnp.array(u[:, 0]))
+    np.testing.assert_allclose(float(score), np.asarray(score_ref).item(),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref)[:, 0],
+                               rtol=1e-7, atol=1e-6)

@@ -59,3 +59,16 @@ def test_render_frames(tmp_path):
     paths = plot.render_video_frames(cfg, data, arrays, str(tmp_path / "f"))
     assert len(paths) == 2
     assert all(os.path.getsize(p) > 1000 for p in paths)
+
+
+def test_debug_helpers():
+    from scp_tpu.utils import debug
+    debug.check_finite({"a": jnp.ones(3)})
+    try:
+        debug.check_finite({"a": jnp.array([1.0, np.nan])}, "x")
+        raise AssertionError("should have raised")
+    except FloatingPointError as e:
+        assert "non-finite" in str(e)
+    dev = debug.determinism_check(
+        jax.jit(lambda x: x * 2 + 1), jnp.arange(8.0))
+    assert dev == 0.0
