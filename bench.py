@@ -47,7 +47,7 @@ def worker():
         "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
         n_veh=N_VEH)
     cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                      qp_tol=1e-6, qp_fixed_iters=14)
+                      qp_tol=1e-6, qp_fixed_iters=10)
 
     def step(d, carry):
         new_carry, out = engine.mpc_step(cfg, d, carry)
