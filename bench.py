@@ -50,10 +50,10 @@ def worker():
                       qp_tol=1e-6, qp_fixed_iters=10)
 
     def step(d, carry):
-        new_carry, out = engine.mpc_step(cfg, d, carry)
+        new_carry, out = engine.mpc_step_batch(cfg, d, carry)
         return new_carry, out.feasible
 
-    step_j = jax.jit(jax.vmap(step))
+    step_j = jax.jit(step)
     carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
 
     t0 = time.time()

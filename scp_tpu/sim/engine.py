@@ -177,22 +177,20 @@ def rollout_plant(cfg: SCPConfig, data: ScenarioData, state, u_prev2, u_prev1,
     return states
 
 
-def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
-             dtype=None) -> tuple[SimCarry, StepOutput]:
-    """One complete MPC step (controller + plant)."""
-    dtype = dtype or data.x0.dtype
-    key, key_noise = jax.random.split(carry.key)
+def controller_pre(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
+    """Controller preprocessing: IterClass + MPCclass (delay compensation,
+    reference sampling, obstacle forecast, discretize, condense).
 
+    Returns (problem, aux) where ``aux = (sys_, u_max, ref_pts, x0)``.
+    """
     u_max = dynamic_steering_limit(cfg, data, carry.state)
 
-    # --- controller preprocessing (IterClass) ---
     x0, _ = delay_compensate(cfg, data, carry.state, carry.u_prev1)
     step_sizes = x0[:, 3] * cfg.dt
     ref_pts = reference_path.sample_reference_batch(
         data.ref_points, data.ref_valid, x0[:, :2], step_sizes, cfg.hp, True)
     obst_pos = predict_obstacles(cfg, data, carry.step)
 
-    # --- MPCclass: discretize + condense ---
     A, B, E = discretize.linearize_and_discretize_batch(
         x0, carry.u_prev1, data.params.lf, data.params.lr, cfg.dt)
     ref_stack = ref_pts.reshape(cfg.n_veh, cfg.hp * NY)
@@ -200,59 +198,45 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         A, B, E, x0, ref_stack, data.params.q, data.params.r,
         data.params.q_final, cfg.hp, cfg.hu)
 
-    # --- controller solve ---
     sys_ = con.make_system(cm.math_b, cm.const_term, obst_pos,
                            data.dsafe_veh, data.dsafe_obst,
                            cfg.dsafe_extra, cfg.hp, cfg.hu)
-    if cfg.controller == "scp":
-        problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
-                                 gamma0=cm.gamma0)
-        res = scp.solve_scp(
-            problem, carry.u_warm,
-            u_lim=cfg.u_lim, max_scp_iter=cfg.max_scp_iter,
-            delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
-            u_step_tol=cfg.u_step_tol,
-            slack_weight=cfg.slack_weight,
-            slack_ub=cfg.slack_ub,
-            constraint_tolerance=cfg.constraint_tolerance,
-            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
-            qp_fixed_iters=cfg.qp_fixed_iters or None,
-            qp_cheap_k=cfg.qp_cheap_k,
-            compat_q5=cfg.compat_q5)
-    elif cfg.controller == "side_selection":
-        from scp_tpu.solvers import miqp
+    problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
+                             gamma0=cm.gamma0)
+    return problem, (sys_, u_max, ref_pts, x0, obst_pos)
 
-        ss = miqp.solve_side_selection(
-            sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
-            carry.u_prev1, u_max, carry.u_warm,
-            du_lim=cfg.u_lim,
-            slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
-            constraint_tolerance=cfg.constraint_tolerance,
-            n_rounds=cfg.side_selection_rounds,
-            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol)
-        res = scp.SCPResult(
-            u=ss.u, feasible=ss.feasible, converged=ss.converged,
-            obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
-            iters=ss.rounds, qp_iters=jnp.asarray(0),
-            qp_fails=jnp.asarray(0))
-    else:
-        raise ValueError(f"unknown controller {cfg.controller!r}")
 
+def _scp_kwargs(cfg: SCPConfig) -> dict:
+    return dict(
+        u_lim=cfg.u_lim,
+        delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
+        u_step_tol=cfg.u_step_tol,
+        slack_weight=cfg.slack_weight,
+        slack_ub=cfg.slack_ub,
+        constraint_tolerance=cfg.constraint_tolerance,
+        qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+        qp_fixed_iters=cfg.qp_fixed_iters or None,
+        qp_cheap_k=cfg.qp_cheap_k,
+        compat_q5=cfg.compat_q5)
+
+
+def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+              res, aux, key, key_noise) -> tuple[SimCarry, StepOutput]:
+    """Post-solve half of the MPC step: clamps, plant rollout, metrics."""
+    sys_, u_max, ref_pts, x0, obst_pos = aux
     traj_pred, U_raw = scp.forward_u(sys_, res.u)
     U = clamp_controls(cfg, U_raw, carry.u_prev1, u_max)
     u_cmd = U[0]
 
-    # --- plant rollout ---
     states = rollout_plant(cfg, data, carry.state, carry.u_prev2,
                            carry.u_prev1, key_noise)
 
-    # --- evaluateInOriginalProblem metrics (SCP_controller.py:343-400) ---
+    # evaluateInOriginalProblem metrics (SCP_controller.py:343-400)
     sq_err = (jnp.transpose(ref_pts, (1, 2, 0)) - traj_pred) ** 2  # (HP,NY,V)
     obj_x = jnp.sum(data.params.q * jnp.sum(sq_err[:-1], axis=(0, 1))) \
         + jnp.sum(data.params.q_final * jnp.sum(sq_err[-1], axis=0))
     obj_u = jnp.sum(data.params.r * jnp.sum(U ** 2, axis=0))
     pred_obj = obj_x + obj_u
-    # trajectory-distance feasibility (without dsafeExtra)
     pos_t = jnp.transpose(traj_pred, (2, 0, 1))  # (V, HP, NY)
     iu, ju = sys_.pair_i, sys_.pair_j
     d2 = jnp.sum((pos_t[iu] - pos_t[ju]) ** 2, -1)       # (P, HP)
@@ -278,6 +262,64 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         qp_iters=res.qp_iters, pred_obj=pred_obj,
         pred_feasible=pred_feasible)
     return new_carry, out
+
+
+def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+             dtype=None) -> tuple[SimCarry, StepOutput]:
+    """One complete MPC step (controller + plant)."""
+    key, key_noise = jax.random.split(carry.key)
+    problem, aux = controller_pre(cfg, data, carry)
+    sys_, u_max, ref_pts, x0, obst_pos = aux
+
+    if cfg.controller == "scp":
+        res = scp.solve_scp(problem, carry.u_warm,
+                            max_scp_iter=cfg.max_scp_iter,
+                            **_scp_kwargs(cfg))
+    elif cfg.controller == "side_selection":
+        from scp_tpu.solvers import miqp
+
+        ss = miqp.solve_side_selection(
+            sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
+            carry.u_prev1, u_max, carry.u_warm,
+            du_lim=cfg.u_lim,
+            slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
+            constraint_tolerance=cfg.constraint_tolerance,
+            n_rounds=cfg.side_selection_rounds,
+            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol)
+        res = scp.SCPResult(
+            u=ss.u, feasible=ss.feasible, converged=ss.converged,
+            obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
+            iters=ss.rounds, qp_iters=jnp.asarray(0),
+            qp_fails=jnp.asarray(0))
+    else:
+        raise ValueError(f"unknown controller {cfg.controller!r}")
+
+    return step_post(cfg, data, carry, res, aux, key, key_noise)
+
+
+def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+                   phase1_iters: int = 8, straggler_frac: int = 4):
+    """Batched MPC step with two-phase straggler repacking.
+
+    ``data``/``carry`` carry a leading batch axis. Functionally equivalent
+    to ``vmap(mpc_step)`` (up to the straggler-capacity note in
+    ``solve_scp_batch``), but typically ~1.5x faster: converged instances
+    stop paying for the few that run to the SCP iteration cap.
+    """
+    assert cfg.controller == "scp", "batch path currently implements SCP"
+    keys = jax.vmap(jax.random.split)(carry.key)   # (B, 2, key)
+    key, key_noise = keys[:, 0], keys[:, 1]
+
+    problem, aux = jax.vmap(
+        lambda d, c: controller_pre(cfg, d, c))(data, carry)
+    res = scp.solve_scp_batch(
+        problem, carry.u_warm,
+        max_scp_iter=cfg.max_scp_iter,
+        phase1_iters=phase1_iters, straggler_frac=straggler_frac,
+        **_scp_kwargs(cfg))
+    return jax.vmap(
+        lambda d, c, r, a, k, kn: step_post(cfg, d, c, r, a, k, kn)
+    )(data, carry, res, aux, key, key_noise)
 
 
 def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:

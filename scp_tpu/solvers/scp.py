@@ -154,6 +154,58 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                      qp_iters=out.qp_iters, qp_fails=out.qp_fails)
 
 
+def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
+                    u_lim: float,
+                    max_scp_iter: int = 20,
+                    phase1_iters: int = 8,
+                    straggler_frac: int = 4,
+                    **kw) -> SCPResult:
+    """Two-phase batched SCP with straggler repacking.
+
+    A vmapped ``solve_scp`` runs in lockstep: the whole batch pays for the
+    slowest instance, and in conflict-heavy batches ~90% of instances
+    converge within ~8 iterations while a few percent run to the 20-cap.
+    Phase 1 runs ``phase1_iters`` for everyone; the unconverged stragglers
+    are then gathered (argsort-packed) into a ``1/straggler_frac``-width
+    sub-batch that continues for the remaining iterations. Continuation is
+    exact: ``solve_scp`` re-derives its merit carry from the entry iterate,
+    which equals the state the uninterrupted loop would hold.
+
+    ``problems``/``u_init`` carry a leading batch axis. Stragglers beyond
+    the sub-batch capacity keep their phase-1 result (equivalent to a lower
+    iteration cap for them; capacity is ~5x the typical straggler count).
+    """
+    b = u_init.shape[0]
+    m = max(b // straggler_frac, 1)
+
+    res1 = jax.vmap(
+        lambda p, u: solve_scp(p, u, u_lim=u_lim,
+                               max_scp_iter=phase1_iters, **kw)
+    )(problems, u_init)
+
+    # pack unconverged to the front (False sorts before True)
+    order = jnp.argsort(res1.converged)
+    idx = order[:m]
+    sub_problems = jax.tree_util.tree_map(lambda x: x[idx], problems)
+    res2 = jax.vmap(
+        lambda p, u: solve_scp(p, u, u_lim=u_lim,
+                               max_scp_iter=max_scp_iter - phase1_iters,
+                               **kw)
+    )(sub_problems, res1.u[idx])
+
+    take2 = ~res1.converged[idx]
+    res2 = res2._replace(
+        iters=res2.iters + res1.iters[idx],
+        qp_iters=res2.qp_iters + res1.qp_iters[idx],
+        qp_fails=res2.qp_fails + res1.qp_fails[idx])
+
+    def merge(a, b2):
+        sel = take2.reshape((-1,) + (1,) * (b2.ndim - 1))
+        return a.at[idx].set(jnp.where(sel, b2, a[idx]))
+
+    return SCPResult(*[merge(a, b2) for a, b2 in zip(res1, res2)])
+
+
 def solve_scp_multistart(problem: SCPProblem, u_init: jax.Array, *,
                          u_lim: float, **kw) -> SCPResult:
     """Multi-start SCP: warm start plus saturated-left/right restarts.

@@ -67,3 +67,23 @@ def test_distributed_sweep_8dev():
     assert total_obj.shape == (2,)       # per-step reduced metrics
     assert float(total_feas[-1]) == 16.0  # all instances feasible
     assert np.all(np.isfinite(np.asarray(carries.state)))
+
+
+def test_mpc_step_batch_matches_vmap():
+    """Two-phase repacked batch step equals plain vmapped mpc_step."""
+    cfg, data = batch_lib.make_batch("circle", 12, key=jax.random.PRNGKey(8),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=6, hu=6, max_scp_iter=6, qp_max_iter=20)
+    carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
+    # align PRNG usage: both paths split each instance's key identically
+    c2, out2 = jax.jit(lambda d, c: engine.mpc_step_batch(
+        cfg, d, c, phase1_iters=3, straggler_frac=2))(data, carry)
+    c1, out1 = jax.jit(jax.vmap(lambda d, c: engine.mpc_step(cfg, d, c)))(
+        data, carry)
+    np.testing.assert_allclose(np.asarray(out2.u_applied),
+                               np.asarray(out1.u_applied),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c2.state), np.asarray(c1.state),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(out2.feasible),
+                                  np.asarray(out1.feasible))
