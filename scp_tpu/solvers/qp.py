@@ -181,12 +181,28 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         return x, s, z, mu, rp, rd, ok
 
     if fixed_iters is not None:
+        # Fixed iteration count for lockstep speed, but with per-instance
+        # freeze-on-stall: once mu stops improving at the f32 floor, further
+        # Mehrotra steps can *corrupt* the iterate (observed: the 11-vehicle
+        # parallel scenario drops from feasibility 1.0 to 0.5 without this).
+        # The adaptive while-loop gets the same behavior for free from
+        # vmap's select-on-stopped-lanes semantics.
         def fori_body(_, state):
-            x, s, z = state
-            x, s, z, *_ = iterate(x, s, z)
-            return (x, s, z)
+            x, s, z, mu_prev, frozen = state
+            x2, s2, z2, mu, rp, rd, ok = iterate(x, s, z)
+            stalled = (mu > 0.7 * mu_prev) & (mu < tol * 1e3)
+            converged = mu < tol
+            new_frozen = frozen | stalled | converged | ~ok
+            keep = ~new_frozen
+            x = jnp.where(keep, x2, x)
+            s = jnp.where(keep, s2, s)
+            z = jnp.where(keep, z2, z)
+            return (x, s, z, mu, new_frozen)
 
-        x, s, z = jax.lax.fori_loop(0, fixed_iters, fori_body, (x, s, z))
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        x, s, z, _, _ = jax.lax.fori_loop(
+            0, fixed_iters, fori_body,
+            (x, s, z, big, jnp.array(False)))
         iters = jnp.array(fixed_iters)
     else:
         def body(state):
