@@ -5,7 +5,12 @@ Solves  min_x  0.5 x^T P x + q^T x   s.t.  G x <= h,  lb <= x <= ub
 replacing the reference's CVXPY+Gurobi call (SCP_controller.py:135-145) with a
 fully jittable Mehrotra predictor-corrector method:
 
-* box bounds are folded into the inequality system ``Ghat = [G; I; -I]``;
+* the conic system is ``Ghat = [G; I; -I]`` (box bounds as rows), but the
+  box rows are handled **implicitly**: their contribution to the condensed
+  KKT matrix is exactly diagonal and their matvecs are copies, so the dense
+  work touches only the ``G`` rows — in the SCP workload the box rows are
+  ~60% of the system, so this halves the dominant m*n^2 contraction and the
+  per-iteration Ghat matvec HBM traffic at bit-identical math;
 * each Newton step solves the condensed normal equations
   ``(P + Ghat^T diag(z/s) Ghat) dx = rhs`` with one Cholesky factorization of
   an (n x n) matrix — n = nVeh*Hp + 1 slack, so batched ``cholesky`` +
@@ -40,14 +45,6 @@ class QPSolution(NamedTuple):
     z: jax.Array           # (m + 2n,) duals for [G; I; -I] rows (unscaled)
 
 
-def _build_ghat(G, h, lb, ub):
-    n = lb.shape[0]
-    eye = jnp.eye(n, dtype=G.dtype)
-    ghat = jnp.concatenate([G, eye, -eye], axis=0)
-    hhat = jnp.concatenate([h, ub, -lb])
-    return ghat, hhat
-
-
 def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
              x0=None, fixed_iters: int | None = None,
              cheap_k: bool = False,
@@ -70,17 +67,26 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     """
     dtype = P.dtype
     n = q.shape[0]
-    ghat, hhat = _build_ghat(G, h, lb, ub)
-    m = hhat.shape[0]
+    mg = h.shape[0]
+    m = mg + 2 * n
 
-    # --- equilibration ---
-    row_norm = jnp.linalg.norm(ghat, axis=1)
+    # --- equilibration (box rows have exactly unit norm: untouched) ---
+    row_norm = jnp.linalg.norm(G, axis=1)
     d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
-    ghat_s = ghat * d_row[:, None]
-    hhat_s = hhat * d_row
+    G_s = G * d_row[:, None]
+    hhat_s = jnp.concatenate([h * d_row, ub, -lb])
     cost_scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(P)), 1.0)
     P_s = P * cost_scale
     q_s = q * cost_scale
+
+    def ghat_mv(v):
+        """[G_s; I; -I] @ v — box rows are copies, never materialized."""
+        gv = G_s @ v
+        return jnp.concatenate([gv, v, -v])
+
+    def ghat_tmv(v):
+        """[G_s; I; -I]^T @ v."""
+        return G_s.T @ v[:mg] + v[mg:mg + n] - v[mg + n:]
 
     # --- initial point ---
     if x0 is None:
@@ -91,7 +97,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     # starts at 1, so mu_0 = 1 in equilibrated units no matter how wide the
     # bounds are (the reference passes a 1e25 slack upper bound,
     # SCP_controller.py:85 — a naive z = 1 init would start mu at ~1e23).
-    resid = hhat_s - ghat_s @ x
+    resid = hhat_s - ghat_mv(x)
     s = jnp.maximum(resid, 1.0)
     z = 1.0 / s
 
@@ -121,20 +127,23 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         """Cholesky of the condensed KKT matrix — ONE factorization per IPM
         iteration, shared by the predictor and corrector solves."""
         w = z / s
-        K = P_s + jnp.matmul(ghat_s.T * w[None, :], ghat_s,
+        # dense G rows on the MXU; the [I; -I] box rows contribute exactly
+        # a diagonal, added without materializing them.
+        K = P_s + jnp.matmul(G_s.T * w[None, :mg], G_s,
                              precision=k_precision)
+        K = K + eye_n * (w[mg:mg + n] + w[mg + n:])[None, :]
         reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
         K = K + reg * eye_n
         return chol_fn(K)
 
     def kkt_solve(L, s, z, rd, rp, rc):
         w = z / s
-        rhs = -(rd + ghat_s.T @ (w * rp - rc / s))
+        rhs = -(rd + ghat_tmv(w * rp - rc / s))
         # Pallas batched kernel on TPU; blocked recursion elsewhere (XLA's
         # TPU triangular_solve >64x64 exhausts scoped VMEM — see
         # scp_tpu/ops/linalg.py and ops/pallas_linalg.py).
         dx = solve_fn(L, rhs)
-        dz = w * (ghat_s @ dx + rp) - rc / s
+        dz = w * (ghat_mv(dx) + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
 
@@ -146,8 +155,8 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     def iterate(x, s, z):
         """One Mehrotra predictor-corrector step. Returns updated (x, s, z)
         and the pre-step mu."""
-        rd = P_s @ x + q_s + ghat_s.T @ z
-        rp = ghat_s @ x + s - hhat_s
+        rd = P_s @ x + q_s + ghat_tmv(z)
+        rp = ghat_mv(x) + s - hhat_s
         mu = jnp.dot(s, z) / m
 
         L = factor(s, z)
@@ -229,14 +238,14 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 
     # Honest post-hoc convergence certificate (stalls don't count).
     mu_f = jnp.dot(s, z) / m
-    rp_f = jnp.linalg.norm(ghat_s @ x + s - hhat_s)
-    rd_f = jnp.linalg.norm(P_s @ x + q_s + ghat_s.T @ z)
+    rp_f = jnp.linalg.norm(ghat_mv(x) + s - hhat_s)
+    rd_f = jnp.linalg.norm(P_s @ x + q_s + ghat_tmv(z))
     conv = (mu_f < tol * 10) \
         & (rp_f / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 100) \
         & (rd_f / (1.0 + jnp.linalg.norm(q_s)) < tol * 100)
 
     obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
     gap = mu_f
-    z_unscaled = d_row * z / cost_scale
+    z_unscaled = jnp.concatenate([d_row * z[:mg], z[mg:]]) / cost_scale
     return QPSolution(x=x, obj=obj, iters=iters, converged=conv, gap=gap,
                       z=z_unscaled)
