@@ -37,6 +37,14 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pad_dim(n: int) -> int:
+    """Matrix size the kernels require. Callers that pre-pad their systems to
+    this (identity diagonal on the pad block) skip the pad/slice copies here,
+    and the factor->solve transpose pairs become adjacent so XLA cancels
+    them (see scp_tpu/solvers/qp.py)."""
+    return _pad_to(n, max(_SUBLANE, _CHUNK))
+
+
 # ---------------------------------------------------------------------------
 # kernels (layout: column-major-with-batch — a[c, r, b] = M_b[r, c])
 # ---------------------------------------------------------------------------
@@ -224,9 +232,12 @@ def _batched_cholesky_impl(K: jax.Array) -> jax.Array:
     B, n, _ = K.shape
     n_pad = _pad_to(n, max(_SUBLANE, _CHUNK))
     b_pad = _pad_to(B, TB)
-    Kp = jnp.zeros((b_pad, n_pad, n_pad), K.dtype)
-    Kp = Kp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
-    Kp = Kp.at[:B, :n, :n].set(K)
+    if n == n_pad and B == b_pad:
+        Kp = K  # pre-aligned caller: no pad copy
+    else:
+        Kp = jnp.zeros((b_pad, n_pad, n_pad), K.dtype)
+        Kp = Kp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+        Kp = Kp.at[:B, :n, :n].set(K)
     # layout (col, row, batch)
     Kt = jnp.transpose(Kp, (2, 1, 0))
 
@@ -243,8 +254,12 @@ def _batched_cholesky_impl(K: jax.Array) -> jax.Array:
             pltpu.SemaphoreType.DMA(()),
         ],
     )(Kt)
-    L = jnp.transpose(out, (2, 1, 0))[:B, :n, :n]
-    return jnp.tril(L)
+    # The kernel zeroes every column's above-diagonal entries when it factors
+    # that column, so the result is already lower-triangular — no tril needed.
+    L = jnp.transpose(out, (2, 1, 0))
+    if n == n_pad and B == b_pad:
+        return L
+    return L[:B, :n, :n]
 
 
 def _batched_cho_solve_impl(L: jax.Array, b: jax.Array) -> jax.Array:
@@ -252,10 +267,14 @@ def _batched_cho_solve_impl(L: jax.Array, b: jax.Array) -> jax.Array:
     B, n, _ = L.shape
     n_pad = _pad_to(n, _SUBLANE)
     b_pad = _pad_to(B, TB)
-    Lp = jnp.zeros((b_pad, n_pad, n_pad), L.dtype)
-    Lp = Lp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
-    Lp = Lp.at[:B, :n, :n].set(L)
-    bp = jnp.zeros((b_pad, n_pad), b.dtype).at[:B, :n].set(b)
+    if n == n_pad and B == b_pad:
+        Lp, bp = L, b  # pre-aligned caller: transpose below cancels with the
+        # factor's output transpose under XLA's algebraic simplifier
+    else:
+        Lp = jnp.zeros((b_pad, n_pad, n_pad), L.dtype)
+        Lp = Lp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+        Lp = Lp.at[:B, :n, :n].set(L)
+        bp = jnp.zeros((b_pad, n_pad), b.dtype).at[:B, :n].set(b)
     Lt = jnp.transpose(Lp, (2, 1, 0))
     bt = jnp.transpose(bp, (1, 0))
 

@@ -119,9 +119,15 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         from scp_tpu.ops import pallas_linalg
         chol_fn = pallas_linalg.cholesky
         solve_fn = pallas_linalg.cho_solve
+        # Pre-pad the KKT system to the kernel-aligned size (identity on the
+        # pad block): the batched kernels then skip their pad/slice copies
+        # and the factor->solve layout transposes cancel under XLA.
+        n_pad = pallas_linalg.pad_dim(n)
     else:
         chol_fn = linalg.blocked_cholesky
         solve_fn = linalg.blocked_cho_solve
+        n_pad = n
+    pad = n_pad - n
 
     def factor(s, z):
         """Cholesky of the condensed KKT matrix — ONE factorization per IPM
@@ -134,6 +140,10 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         K = K + eye_n * (w[mg:mg + n] + w[mg + n:])[None, :]
         reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
         K = K + reg * eye_n
+        if pad:
+            K = jnp.pad(K, ((0, pad), (0, pad)))
+            diag = jnp.arange(n, n_pad)
+            K = K.at[diag, diag].set(1.0)
         return chol_fn(K)
 
     def kkt_solve(L, s, z, rd, rp, rc):
@@ -142,7 +152,10 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         # Pallas batched kernel on TPU; blocked recursion elsewhere (XLA's
         # TPU triangular_solve >64x64 exhausts scoped VMEM — see
         # scp_tpu/ops/linalg.py and ops/pallas_linalg.py).
-        dx = solve_fn(L, rhs)
+        if pad:
+            dx = solve_fn(L, jnp.pad(rhs, (0, pad)))[:n]
+        else:
+            dx = solve_fn(L, rhs)
         dz = w * (ghat_mv(dx) + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
