@@ -69,6 +69,9 @@ class SCPConfig:
     delta_tol: float = 1e-3
     delta_tol_rel: float = 0.0   # relative merit stop (needed for float32)
     u_step_tol: float = 0.0      # scale-free iterate-step stop (radians)
+    merit_patience: int = 0      # >0: stop after this many consecutive
+    # iterations without improving the best merit by the delta threshold —
+    # catches f32 QP-noise oscillation that the |delta| stop never exits
     slack_weight: float = 1e5              # psi_omega_weight, exact-penalty weight
     slack_ub: float = 1e8                  # reference uses 1e25; clamped for f32
     constraint_tolerance: float = 2 * 2.1 * 1e-3  # Config.py:18

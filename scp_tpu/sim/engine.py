@@ -211,6 +211,7 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
         u_lim=cfg.u_lim,
         delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
         u_step_tol=cfg.u_step_tol,
+        merit_patience=cfg.merit_patience,
         slack_weight=cfg.slack_weight,
         slack_ub=cfg.slack_ub,
         constraint_tolerance=cfg.constraint_tolerance,
@@ -298,7 +299,8 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
 
 
 def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
-                   phase1_iters: int = 8, straggler_frac: int = 4):
+                   phase1_iters: int = 8, straggler_frac: int = 4,
+                   phases: tuple[tuple[int, int], ...] | None = None):
     """Batched MPC step with two-phase straggler repacking.
 
     ``data``/``carry`` carry a leading batch axis. Functionally equivalent
@@ -316,6 +318,7 @@ def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         problem, carry.u_warm,
         max_scp_iter=cfg.max_scp_iter,
         phase1_iters=phase1_iters, straggler_frac=straggler_frac,
+        phases=phases,
         **_scp_kwargs(cfg))
     return jax.vmap(
         lambda d, c, r, a, k, kn: step_post(cfg, d, c, r, a, k, kn)
