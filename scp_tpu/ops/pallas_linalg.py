@@ -32,6 +32,9 @@ from scp_tpu.ops import linalg as _lin
 TB = 128          # batch tile = lane width
 _SUBLANE = 8
 
+# Tests can flip this to run the kernels in Pallas interpret mode on CPU.
+INTERPRET = False
+
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -223,6 +226,190 @@ def _cho_solve_kernel(l_ref, b_ref, out_ref, y_ref):
     jax.lax.fori_loop(0, n_panels, bwd_panel, 0)
 
 
+def _gmv_kernel(g_ref, x_ref, out_ref):
+    """out[mb, b] = sum_n g[mb, n, b] * x[n, b] — lane-parallel reduction."""
+    out_ref[...] = jnp.sum(g_ref[...] * x_ref[...][None, :, :], axis=1)
+
+
+def _gtmv_kernel(g_ref, v_ref, out_ref):
+    """out[nb, b] = sum_m g[m, nb, b] * v[m, b] — lane-parallel reduction."""
+    out_ref[...] = jnp.sum(g_ref[...] * v_ref[...][:, None, :], axis=0)
+
+
+_MV_MB = 32   # row-block for the forward matvec
+_MV_NB = 8    # column-block for the transposed matvec
+
+
+def _to_lane3(G: jax.Array):
+    """(B, m, n) -> (m_pad, n_pad, b_pad) lane layout, shared by both matvec
+    directions so XLA CSEs the transpose (and hoists it out of the IPM loop
+    — G is loop-invariant)."""
+    B, m, n = G.shape
+    m_pad, n_pad, b_pad = _pad_to(m, _MV_MB), _pad_to(n, _MV_NB), _pad_to(B, TB)
+    Gt = jnp.transpose(G, (1, 2, 0))
+    if (m_pad, n_pad, b_pad) != (m, n, B):
+        Gt = jnp.pad(Gt, ((0, m_pad - m), (0, n_pad - n), (0, b_pad - B)))
+    return Gt, m_pad, n_pad, b_pad
+
+
+def _batched_gmv_impl(G: jax.Array, x: jax.Array) -> jax.Array:
+    """G: (B, m, n), x: (B, n) -> (B, m).
+
+    vmap of a per-instance matvec puts the batch on the MAJOR axis, forcing
+    the contraction onto the lane axis — measured 4-5x off HBM
+    speed-of-light. These kernels lay the batch on lanes so the reduction is
+    a full-width VPU op and the cost is one streaming read of G."""
+    B, m, n = G.shape
+    Gt, m_pad, n_pad, b_pad = _to_lane3(G)
+    xt = jnp.transpose(x, (1, 0))
+    if (n_pad, b_pad) != (n, B):
+        xt = jnp.pad(xt, ((0, n_pad - n), (0, b_pad - B)))
+    out = pl.pallas_call(
+        _gmv_kernel,
+        interpret=INTERPRET,
+        grid=(b_pad // TB, m_pad // _MV_MB),
+        in_specs=[
+            pl.BlockSpec((_MV_MB, n_pad, TB), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, TB), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MV_MB, TB), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, b_pad), G.dtype),
+    )(Gt, xt)
+    return jnp.transpose(out, (1, 0))[:B, :m]
+
+
+def _batched_gtmv_impl(G: jax.Array, v: jax.Array) -> jax.Array:
+    """G: (B, m, n), v: (B, m) -> (B, n) = (G^T v) per instance."""
+    B, m, n = G.shape
+    Gt, m_pad, n_pad, b_pad = _to_lane3(G)
+    vt = jnp.transpose(v, (1, 0))
+    if (m_pad, b_pad) != (m, B):
+        vt = jnp.pad(vt, ((0, m_pad - m), (0, b_pad - B)))
+    out = pl.pallas_call(
+        _gtmv_kernel,
+        interpret=INTERPRET,
+        grid=(b_pad // TB, n_pad // _MV_NB),
+        in_specs=[
+            pl.BlockSpec((m_pad, _MV_NB, TB), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, TB), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MV_NB, TB), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, b_pad), G.dtype),
+    )(Gt, vt)
+    return jnp.transpose(out, (1, 0))[:B, :n]
+
+
+# ---------------------------------------------------------------------------
+# direct lane-layout APIs — for the natively-batched TPU solver
+# (scp_tpu/solvers/qp.py::solve_qp_batched), which controls layout itself:
+# G/P are transposed to lane layout ONCE per solve, factors and vectors stay
+# in kernel layout end-to-end, so no per-iteration transposes exist at all.
+# ---------------------------------------------------------------------------
+
+_MV_MB = 32   # row-block for the forward matvec
+_MV_NB = 8    # column-block for the transposed matvec
+
+
+def to_lane3(A: jax.Array, pad_major: int = 1):
+    """(B, m, n) -> (m_pad, n_pad, b_pad) lane layout (pads with zeros)."""
+    B, m, n = A.shape
+    m_pad = _pad_to(m, max(_MV_MB, pad_major))
+    n_pad, b_pad = _pad_to(n, max(_SUBLANE, _CHUNK)), _pad_to(B, TB)
+    At = jnp.transpose(A, (1, 2, 0))
+    if (m_pad, n_pad, b_pad) != (m, n, B):
+        At = jnp.pad(At, ((0, m_pad - m), (0, n_pad - n), (0, b_pad - B)))
+    return At
+
+
+def cholesky_lane(K: jax.Array) -> jax.Array:
+    """K: (B, n, n) SPD with n % 16 == 0, B % TB == 0 -> factor in kernel
+    layout (n, n, B), out[c, r, b] = L_b[r, c]. No back-transpose: feed the
+    result straight to ``cho_solve_lane``."""
+    B, n, _ = K.shape
+    assert n % max(_SUBLANE, _CHUNK) == 0 and B % TB == 0, (n, B)
+    Kt = jnp.transpose(K, (2, 1, 0))
+    return pl.pallas_call(
+        _cholesky_panel_kernel,
+        interpret=INTERPRET,
+        grid=(B // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n, n, B), K.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, TB), K.dtype),
+            pltpu.VMEM((_SUBLANE, n, TB), K.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(Kt)
+
+
+def cho_solve_lane(Lt: jax.Array, bt: jax.Array) -> jax.Array:
+    """Lt: (n, n, B) kernel-layout factor, bt: (n, B) -> x (n, B)."""
+    n, _, B = Lt.shape
+    return pl.pallas_call(
+        _cho_solve_kernel,
+        interpret=INTERPRET,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), bt.dtype),
+        scratch_shapes=[pltpu.VMEM((n, TB), bt.dtype)],
+    )(Lt, bt)
+
+
+def gmv_lane(G_lane: jax.Array, x_lane: jax.Array) -> jax.Array:
+    """G_lane: (m, n, B) from ``to_lane3``; x_lane: (n, B) -> (m, B) with
+    out[:, b] = G_b @ x_b. Lane-parallel VPU reduction: one streaming read
+    of G at HBM speed-of-light."""
+    m, n, B = G_lane.shape
+    return pl.pallas_call(
+        _gmv_kernel,
+        interpret=INTERPRET,
+        grid=(B // TB, m // _MV_MB),
+        in_specs=[
+            pl.BlockSpec((_MV_MB, n, TB), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, TB), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MV_MB, TB), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, B), G_lane.dtype),
+    )(G_lane, x_lane)
+
+
+def gtmv_lane(G_lane: jax.Array, v_lane: jax.Array) -> jax.Array:
+    """G_lane: (m, n, B); v_lane: (m, B) -> (n, B) with out[:, b] = G_b^T v_b."""
+    m, n, B = G_lane.shape
+    return pl.pallas_call(
+        _gtmv_kernel,
+        interpret=INTERPRET,
+        grid=(B // TB, n // _MV_NB),
+        in_specs=[
+            pl.BlockSpec((m, _MV_NB, TB), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, TB), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MV_NB, TB), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), v_lane.dtype),
+    )(G_lane, v_lane)
+
+
 # ---------------------------------------------------------------------------
 # batched host-side wrappers
 # ---------------------------------------------------------------------------
@@ -243,6 +430,7 @@ def _batched_cholesky_impl(K: jax.Array) -> jax.Array:
 
     out = pl.pallas_call(
         _cholesky_panel_kernel,
+        interpret=INTERPRET,
         grid=(b_pad // TB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # stays in HBM
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -280,6 +468,7 @@ def _batched_cho_solve_impl(L: jax.Array, b: jax.Array) -> jax.Array:
 
     out = pl.pallas_call(
         _cho_solve_kernel,
+        interpret=INTERPRET,
         grid=(b_pad // TB,),
         in_specs=[
             pl.BlockSpec((n_pad, n_pad, TB), lambda i: (0, 0, i),
@@ -318,6 +507,46 @@ def _cholesky_vmap(axis_size, in_batched, K):
 
 
 @jax.custom_batching.custom_vmap
+def matvec(G: jax.Array, x: jax.Array) -> jax.Array:
+    """G @ x for one instance (lane-layout kernel engages under vmap)."""
+    return G @ x
+
+
+@matvec.def_vmap
+def _matvec_vmap(axis_size, in_batched, G, x):
+    del axis_size
+    g_batched, x_batched = in_batched
+    m, n = G.shape[-2:]
+    if not g_batched:
+        G = jnp.broadcast_to(G, x.shape[:-1] + (m, n))
+    if not x_batched:
+        x = jnp.broadcast_to(x, G.shape[:-2] + (n,))
+    lead = x.shape[:-1]
+    out = _batched_gmv_impl(G.reshape((-1, m, n)), x.reshape((-1, n)))
+    return out.reshape(lead + (m,)), True
+
+
+@jax.custom_batching.custom_vmap
+def matvec_t(G: jax.Array, v: jax.Array) -> jax.Array:
+    """G^T @ v for one instance (lane-layout kernel engages under vmap)."""
+    return G.T @ v
+
+
+@matvec_t.def_vmap
+def _matvec_t_vmap(axis_size, in_batched, G, v):
+    del axis_size
+    g_batched, v_batched = in_batched
+    m, n = G.shape[-2:]
+    if not g_batched:
+        G = jnp.broadcast_to(G, v.shape[:-1] + (m, n))
+    if not v_batched:
+        v = jnp.broadcast_to(v, G.shape[:-2] + (m,))
+    lead = v.shape[:-1]
+    out = _batched_gtmv_impl(G.reshape((-1, m, n)), v.reshape((-1, m)))
+    return out.reshape(lead + (n,)), True
+
+
+@jax.custom_batching.custom_vmap
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     """Solve (L L^T) x = b for one instance (kernel engages under vmap)."""
     return _lin.blocked_cho_solve(L, b)
@@ -337,3 +566,369 @@ def _cho_solve_vmap(axis_size, in_batched, L, b):
     bf = b.reshape((-1, n))
     x = _batched_cho_solve_impl(Lf, bf)
     return x.reshape(lead + (n,)), True
+
+
+# ---------------------------------------------------------------------------
+# fused IPM iteration kernel: one launch per Mehrotra iteration
+# ---------------------------------------------------------------------------
+#
+# The natively-batched QP spends its iteration on ~10 kernel launches and
+# their HBM round-trips: factor (writes L), 2 solves (re-read L), 5 matvecs
+# (re-read G), plus XLA vector ops. This kernel does the ENTIRE iteration in
+# VMEM per 128-instance tile: Cholesky of the (pre-formed) KKT matrix stays
+# resident, G is DMA'd once and reused for every matvec, and the predictor/
+# corrector algebra (steps, step-length ratios, centering) runs as
+# lane-parallel VPU ops. Only the KKT formation (an MXU matmul) and the
+# freeze bookkeeping remain outside.
+#
+# Vector sections are stacked as [G-rows | ub-rows | lb-rows] with
+# section-aligned padding: (MG_PAD + 2*N_PAD, TB). Padding lanes are kept
+# benign via masks in every reduction.
+
+def _fwd_bwd_solve(l_ref, b, y_ref, n):
+    """Solve (L L^T) x = b for b a (n, TB) VALUE against the in-place factor
+    in ``l_ref`` (kernel layout). Same panel algorithm as _cho_solve_kernel
+    but value-based rhs."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
+    n_panels = n // _SUBLANE
+
+    def elem(c, r):
+        return l_ref[pl.ds(c, 1), pl.ds(r, 1), :].reshape(TB)
+
+    y_ref[...] = b
+
+    def fwd_panel(p, _):
+        base = p * _SUBLANE
+        cols = l_ref[pl.ds(base, _SUBLANE), :, :]
+        b_pan = y_ref[pl.ds(base, _SUBLANE), :]
+        ys = []
+        for jj in range(_SUBLANE):
+            acc = b_pan[jj]
+            for k in range(jj):
+                acc = acc - elem(base + k, base + jj) * ys[k]
+            ys.append(acc / elem(base + jj, base + jj))
+        upd = cols[0] * ys[0][None, :]
+        for jj in range(1, _SUBLANE):
+            upd = upd + cols[jj] * ys[jj][None, :]
+        rest = jnp.where(row_ids > base + _SUBLANE - 1,
+                         y_ref[...] - upd, y_ref[...])
+        y_ref[...] = rest
+        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(ys)
+        return 0
+
+    jax.lax.fori_loop(0, n_panels, fwd_panel, 0)
+
+    def bwd_panel(pi, _):
+        p = n_panels - 1 - pi
+        base = p * _SUBLANE
+        b_pan = y_ref[pl.ds(base, _SUBLANE), :]
+        xs = [None] * _SUBLANE
+        for jj in reversed(range(_SUBLANE)):
+            acc = b_pan[jj]
+            for k in range(jj + 1, _SUBLANE):
+                acc = acc - elem(base + jj, base + k) * xs[k]
+            xs[jj] = acc / elem(base + jj, base + jj)
+        upd = l_ref[:, pl.ds(base, 1), :].reshape(n, TB) * xs[0][None, :]
+        for jj in range(1, _SUBLANE):
+            row = l_ref[:, pl.ds(base + jj, 1), :].reshape(n, TB)
+            upd = upd + row * xs[jj][None, :]
+        rest = jnp.where(row_ids < base, y_ref[...] - upd, y_ref[...])
+        y_ref[...] = rest
+        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(xs)
+        return 0
+
+    jax.lax.fori_loop(0, n_panels, bwd_panel, 0)
+    return y_ref[...]
+
+
+def _factor_in_place(out_ref, panel_ref, n):
+    """Panelized right-looking Cholesky on a resident (n, n, TB) VMEM block
+    (body of _cholesky_panel_kernel without the DMA wrapper)."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
+    n_panels = n // _SUBLANE
+    n_chunks = n // _CHUNK
+
+    def panel(p, _):
+        base = p * _SUBLANE
+        for jj in range(_SUBLANE):
+            j = base + jj
+            col = out_ref[pl.ds(j, 1), :, :].reshape(n, TB)
+            d = jnp.sum(jnp.where(row_ids == j, col, 0.0), axis=0)
+            lcol = jnp.where(row_ids >= j, col * jax.lax.rsqrt(d)[None, :],
+                             0.0)
+            out_ref[pl.ds(j, 1), :, :] = lcol.reshape(1, n, TB)
+            if jj < _SUBLANE - 1:
+                w = _SUBLANE - 1 - jj
+                slab = out_ref[pl.ds(j + 1, w), :, :]
+                coef = out_ref[pl.ds(j, 1), pl.ds(j + 1, w), :].reshape(w, TB)
+                out_ref[pl.ds(j + 1, w), :, :] = (
+                    slab - coef[:, None, :] * lcol[None, :, :])
+        panel_ref[...] = out_ref[pl.ds(base, _SUBLANE), :, :]
+        first = base + _SUBLANE
+
+        def chunk(ci, _):
+            start = ci * _CHUNK
+            block = out_ref[pl.ds(start, _CHUNK), :, :]
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (_CHUNK, n, TB), 0) + start
+            rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n, TB), 1)
+            acc = jnp.zeros((_CHUNK, n, TB), block.dtype)
+            for jj in range(_SUBLANE):
+                lcol = panel_ref[pl.ds(jj, 1), :, :].reshape(n, TB)
+                coef = panel_ref[pl.ds(jj, 1), pl.ds(start, _CHUNK), :] \
+                    .reshape(_CHUNK, TB)
+                acc = acc + coef[:, None, :] * lcol[None, :, :]
+            mask = (cols >= first) & (rows >= first)
+            out_ref[pl.ds(start, _CHUNK), :, :] = (
+                block - jnp.where(mask, acc, 0.0))
+            return 0
+
+        jax.lax.fori_loop(first // _CHUNK, n_chunks, chunk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_panels, panel, 0)
+
+
+def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
+                         reg_rel: float = 3e-6):
+    """Build the fused-iteration kernel for static sizes.
+
+    Layout: mg_pad = pad(mg, 32) G rows, n_pad = pad_dim(n) variables;
+    vectors over the inequality system are (mg_pad + 2*n_pad, TB) stacked
+    [G | ub | lb] with benign padding.
+    """
+    mg_pad = _pad_to(mg, _MV_MB)
+    n_pad = pad_dim(n)
+
+    def kernel(k_hbm, g_hbm, px_ref, q_ref, pd_ref, hg_ref, hu_ref, hl_ref,
+               x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
+               scal_ref,
+               xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
+               scalo_ref,
+               kv_ref, gv_ref, panel_ref, y_ref, sem_k, sem_g):
+        i = pl.program_id(0)
+        dma_k = pltpu.make_async_copy(
+            k_hbm.at[:, :, pl.ds(i * TB, TB)], kv_ref, sem_k)
+        dma_g = pltpu.make_async_copy(
+            g_hbm.at[:, :, pl.ds(i * TB, TB)], gv_ref, sem_g)
+        dma_k.start()
+        dma_g.start()
+
+        mrow = jax.lax.broadcasted_iota(jnp.int32, (mg_pad, TB), 0)
+        nrow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TB), 0)
+        mk_g = mrow < mg          # real G rows
+        mk_n = nrow < n           # real variables / box rows
+        inf = jnp.float32(jnp.inf)
+
+        x = x_ref[...]
+        sg, su, sl = sg_ref[...], su_ref[...], sl_ref[...]
+        zg, zu, zl = zg_ref[...], zu_ref[...], zl_ref[...]
+        px, q = px_ref[...], q_ref[...]
+        hg, hu_, hl = hg_ref[...], hu_ref[...], hl_ref[...]
+
+        wg = jnp.where(mk_g, zg / sg, 0.0)
+        wu = jnp.where(mk_n, zu / su, 0.0)
+        wl = jnp.where(mk_n, zl / sl, 0.0)
+
+        dma_g.wait()
+        _MB = 16  # matvec row-chunk: bounds the (chunk, n_pad, TB) temporary
+
+        def gmv(vec_n):
+            """(n_pad, TB) -> (mg_pad, TB): G @ v per lane, chunked so the
+            elementwise product temporary stays small."""
+            parts = []
+            for j in range(mg_pad // _MB):
+                blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
+                parts.append(jnp.sum(blk * vec_n[None, :, :], axis=1))
+            return jnp.concatenate(parts, axis=0)
+
+        def gtmv(vec_m):
+            """(mg_pad, TB) -> (n_pad, TB): G^T v per lane, chunked."""
+            acc = jnp.zeros((n_pad, TB), jnp.float32)
+            for j in range(mg_pad // _MB):
+                blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
+                sub = vec_m[j * _MB:(j + 1) * _MB]
+                acc = acc + jnp.sum(blk * sub[:, None, :], axis=0)
+            return acc
+
+        gx = gmv(x)
+        rp_g = jnp.where(mk_g, gx + sg - hg, 0.0)
+        rp_u = jnp.where(mk_n, x + su - hu_, 0.0)
+        rp_l = jnp.where(mk_n, -x + sl - hl, 0.0)
+        mu = (jnp.sum(jnp.where(mk_g, sg * zg, 0.0), axis=0)
+              + jnp.sum(jnp.where(mk_n, su * zu + sl * zl, 0.0), axis=0)) \
+            / m_true                                     # (TB,)
+
+        # K arrives as pure P + G^T W_g G: the box diagonal and the
+        # relative regularization are added here in VMEM, saving three
+        # full-K XLA passes (scatter-add x2 + diagonal reduction) per
+        # iteration. diag(K) is recomputed analytically from G.
+        gsq = jnp.zeros((n_pad, TB), jnp.float32)
+        for j in range(mg_pad // 16):
+            blk = gv_ref[pl.ds(j * 16, 16), :, :]
+            wsub = wg[j * 16:(j + 1) * 16]
+            gsq = gsq + jnp.sum(blk * blk * wsub[:, None, :], axis=0)
+        dbox = jnp.where(mk_n, zu / su + zl / sl, 0.0)
+        dk = pd_ref[...] + gsq + dbox
+        regv = reg_rel * jnp.max(dk, axis=0) + 1e-30
+        addv = dbox + regv[None, :]                      # (n_pad, TB)
+
+        dma_k.wait()
+        for c in range(n_pad // _CHUNK):
+            blk = kv_ref[pl.ds(c * _CHUNK, _CHUNK), :, :]
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (_CHUNK, n_pad, TB), 0) + c * _CHUNK
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (_CHUNK, n_pad, TB), 1)
+            ablk = addv[c * _CHUNK:(c + 1) * _CHUNK][:, None, :]
+            kv_ref[pl.ds(c * _CHUNK, _CHUNK), :, :] = (
+                blk + jnp.where(cols == rows, ablk, 0.0))
+        _factor_in_place(kv_ref, panel_ref, n_pad)
+
+        # rd + box parts of Ghat^T, shared by both solves:
+        # rhs = -(px + q + G^T(zg + tg) + (zu + tu) - (zl + tl))
+        def newton(tg, tu, tl):
+            rhs = -(px + q + gtmv(zg + tg) + (zu + tu) - (zl + tl))
+            dx = _fwd_bwd_solve(kv_ref, rhs, y_ref, n_pad)
+            gdx = gmv(dx)
+            return dx, gdx
+
+        def steplen(v, dv, mask):
+            ratio = jnp.where(mask & (dv < 0),
+                              -v / jnp.where(dv < 0, dv, -1.0), inf)
+            return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))
+
+        # ---- predictor: rc = s*z => rc/s = z => t = w*rp - z ----
+        dx_a, gdx_a = newton(wg * rp_g - zg, wu * rp_u - zu, wl * rp_l - zl)
+        dzg_a = jnp.where(mk_g, wg * (gdx_a + rp_g) - zg, 0.0)
+        dzu_a = jnp.where(mk_n, wu * (dx_a + rp_u) - zu, 0.0)
+        dzl_a = jnp.where(mk_n, wl * (-dx_a + rp_l) - zl, 0.0)
+        dsg_a = jnp.where(mk_g, -sg - sg * dzg_a / zg, 0.0)
+        dsu_a = jnp.where(mk_n, -su - su * dzu_a / zu, 0.0)
+        dsl_a = jnp.where(mk_n, -sl - sl * dzl_a / zl, 0.0)
+        a_p = jnp.minimum(steplen(sg, dsg_a, mk_g),
+                          jnp.minimum(steplen(su, dsu_a, mk_n),
+                                      steplen(sl, dsl_a, mk_n)))
+        a_d = jnp.minimum(steplen(zg, dzg_a, mk_g),
+                          jnp.minimum(steplen(zu, dzu_a, mk_n),
+                                      steplen(zl, dzl_a, mk_n)))
+        mu_aff = (jnp.sum(jnp.where(
+            mk_g, (sg + a_p * dsg_a) * (zg + a_d * dzg_a), 0.0), axis=0)
+            + jnp.sum(jnp.where(
+                mk_n, (su + a_p * dsu_a) * (zu + a_d * dzu_a)
+                + (sl + a_p * dsl_a) * (zl + a_d * dzl_a), 0.0), axis=0)) \
+            / m_true
+        sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
+        smu = (sigma * mu)[None, :]
+
+        # ---- corrector: rc = s*z + ds_a*dz_a - sigma*mu ----
+        rcg = sg * zg + dsg_a * dzg_a - smu
+        rcu = su * zu + dsu_a * dzu_a - smu
+        rcl = sl * zl + dsl_a * dzl_a - smu
+        dx, gdx = newton(wg * rp_g - rcg / sg,
+                         wu * rp_u - rcu / su,
+                         wl * rp_l - rcl / sl)
+        dzg = jnp.where(mk_g, wg * (gdx + rp_g) - rcg / sg, 0.0)
+        dzu = jnp.where(mk_n, wu * (dx + rp_u) - rcu / su, 0.0)
+        dzl = jnp.where(mk_n, wl * (-dx + rp_l) - rcl / sl, 0.0)
+        dsg = jnp.where(mk_g, -(rcg + sg * dzg) / zg, 0.0)
+        dsu = jnp.where(mk_n, -(rcu + su * dzu) / zu, 0.0)
+        dsl = jnp.where(mk_n, -(rcl + sl * dzl) / zl, 0.0)
+        a_p = jnp.minimum(steplen(sg, dsg, mk_g),
+                          jnp.minimum(steplen(su, dsu, mk_n),
+                                      steplen(sl, dsl, mk_n)))
+        a_d = jnp.minimum(steplen(zg, dzg, mk_g),
+                          jnp.minimum(steplen(zu, dzu, mk_n),
+                                      steplen(zl, dzl, mk_n)))
+        alpha = jnp.minimum(a_p, a_d)[None, :]
+
+        x_n = x + alpha * dx
+        sg_n, su_n, sl_n = sg + alpha * dsg, su + alpha * dsu, sl + alpha * dsl
+        zg_n, zu_n, zl_n = zg + alpha * dzg, zu + alpha * dzu, zl + alpha * dzl
+
+        ok = (jnp.all(jnp.isfinite(x_n), axis=0)
+              & jnp.all(jnp.isfinite(sg_n) & jnp.isfinite(zg_n), axis=0)
+              & jnp.all(jnp.isfinite(su_n) & jnp.isfinite(zu_n)
+                        & jnp.isfinite(sl_n) & jnp.isfinite(zl_n), axis=0))
+
+        # freeze-on-stall (matches solve_qp's fori body)
+        mu_prev = scal_ref[0, :]
+        frozen = scal_ref[1, :] > 0.5
+        stalled = (mu > 0.7 * mu_prev) & (mu < tol * 1e3)
+        converged = mu < tol
+        new_frozen = frozen | stalled | converged | ~ok
+        keep = ~new_frozen
+        kb = keep[None, :]
+
+        xo_ref[...] = jnp.where(kb, x_n, x)
+        sgo_ref[...] = jnp.where(kb, sg_n, sg)
+        suo_ref[...] = jnp.where(kb, su_n, su)
+        slo_ref[...] = jnp.where(kb, sl_n, sl)
+        zgo_ref[...] = jnp.where(kb, zg_n, zg)
+        zuo_ref[...] = jnp.where(kb, zu_n, zu)
+        zlo_ref[...] = jnp.where(kb, zl_n, zl)
+        scalo_ref[0, :] = mu
+        scalo_ref[1, :] = jnp.where(new_frozen, 1.0, 0.0)
+        scalo_ref[2:, :] = jnp.zeros((_SUBLANE - 2, TB), jnp.float32)
+
+    return kernel, mg_pad, n_pad
+
+
+def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
+                     x, sg, su, sl, zg, zu, zl, scal,
+                     *, mg: int, n: int, m_true: int, tol: float,
+                     reg_rel: float = 3e-6):
+    """One fused Mehrotra iteration over the whole batch.
+
+    K_lane: (n_pad, n_pad, B) pre-formed+regularized KKT (kernel layout,
+    unit diagonal on the pad block); G_lane: (mg_pad, n_pad, B); all vectors
+    (rows, B) lane layout with benign padding; scal: (8, B) lane scalars
+    [mu_prev, frozen, ...]. Returns the updated (x, sg, su, sl, zg, zu, zl,
+    scal)."""
+    n_pad, _, B = K_lane.shape
+    mg_pad = G_lane.shape[0]
+    kernel, _, _ = make_ipm_iter_kernel(mg, n, m_true, tol, reg_rel)
+    vec_m = pl.BlockSpec((mg_pad, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    vec_n = pl.BlockSpec((n_pad, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    vec_s = pl.BlockSpec((_SUBLANE, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # K
+            pl.BlockSpec(memory_space=pltpu.ANY),    # G
+            vec_n, vec_n, vec_n,                     # px, q, pdiag
+            vec_m, vec_n, vec_n,                     # hg, hu, hl
+            vec_n, vec_m, vec_n, vec_n,              # x, sg, su, sl
+            vec_m, vec_n, vec_n,                     # zg, zu, zl
+            vec_s,                                   # scal
+        ],
+        out_specs=[vec_n, vec_m, vec_n, vec_n, vec_m, vec_n, vec_n, vec_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((_SUBLANE, B), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, TB), f32),     # K / factor
+            pltpu.VMEM((mg_pad, n_pad, TB), f32),    # G tile
+            pltpu.VMEM((_SUBLANE, n_pad, TB), f32),  # factor panel
+            pltpu.VMEM((n_pad, TB), f32),            # solve scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
+      x, sg, su, sl, zg, zu, zl, scal)
+    return outs

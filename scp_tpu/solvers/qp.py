@@ -265,3 +265,267 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     z_unscaled = jnp.concatenate([d_row * z[:mg], z[mg:]]) / cost_scale
     return QPSolution(x=x, obj=obj, iters=iters, converged=conv, gap=gap,
                       z=z_unscaled)
+
+
+def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
+                     tol: float = 1e-8, x0=None,
+                     fixed_iters: int | None = None,
+                     use_pallas: bool | None = None) -> QPSolution:
+    """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
+
+    Same Mehrotra method, but the implementation controls memory layout
+    explicitly instead of relying on ``vmap``: G and P are transposed to the
+    Pallas lane layout ONCE per solve, the Cholesky factor stays in kernel
+    layout end-to-end (``cholesky_lane``/``cho_solve_lane``), every vector
+    lives as (dim, B) with the batch on the 128-wide lane axis, and the
+    per-iteration matvecs run as lane-parallel VPU reductions
+    (``gmv_lane``/``gtmv_lane``). vmapping :func:`solve_qp` instead leaves
+    3 full-tensor layout transposes per IPM iteration plus 4-5x-off-SOL
+    batched matvecs — measured ~1.5x slower end-to-end.
+
+    Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
+    way, modulo float reduction order).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return jax.vmap(
+            lambda P, q, G, h, lb, ub, x0: solve_qp(
+                P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
+                fixed_iters=fixed_iters, use_pallas=False)
+        )(P, q, G, h, lb, ub,
+          jnp.zeros_like(q) if x0 is None else x0)
+
+    from scp_tpu.ops import pallas_linalg as pll
+
+    dtype = P.dtype
+    B0, mg, n = G.shape
+    m = mg + 2 * n
+    n_pad = pll.pad_dim(n)
+
+    # pad the batch to the lane-tile multiple with benign identity problems
+    b_pad = -(-B0 // pll.TB) * pll.TB
+    if b_pad != B0:
+        e = b_pad - B0
+        P = jnp.concatenate(
+            [P, jnp.broadcast_to(jnp.eye(n, dtype=dtype), (e, n, n))])
+        q = jnp.concatenate([q, jnp.zeros((e, n), dtype)])
+        G = jnp.concatenate([G, jnp.zeros((e, mg, n), dtype)])
+        h = jnp.concatenate([h, jnp.ones((e, mg), dtype)])
+        lb = jnp.concatenate([lb, jnp.full((e, n), -1.0, dtype)])
+        ub = jnp.concatenate([ub, jnp.ones((e, n), dtype)])
+        if x0 is not None:
+            x0 = jnp.concatenate([x0, jnp.zeros((e, n), dtype)])
+    B = b_pad
+
+    # --- equilibration (canonical, once per solve) ---
+    row_norm = jnp.linalg.norm(G, axis=2)                     # (B, mg)
+    d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
+    G_c = G * d_row[:, :, None]                               # canonical
+    cost_scale = 1.0 / jnp.maximum(
+        jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)                # (B,)
+    P_s = P * cost_scale[:, None, None]
+
+    # lane-layout copies: ONE transpose each per solve, loop-invariant
+    G_lane = pll.to_lane3(G_c)                                # (mg', n_pad, B)
+    P_lane = pll.to_lane3(P_s)                                # (n', n_pad, B)
+    mg_pad = G_lane.shape[0]
+
+    # everything below lives as (dim, B) — batch on lanes
+    def t(a):                                                 # (B, d) -> (d, B)
+        return jnp.transpose(a, (1, 0))
+
+    q_s = t(q) * cost_scale[None, :]                          # (n, B)
+    hhat_s = jnp.concatenate([t(h * d_row), t(ub), -t(lb)])   # (m, B)
+    lb_t, ub_t = t(lb), t(ub)
+
+    def pad_rows(v, rows):
+        return jnp.pad(v, ((0, rows - v.shape[0]), (0, 0)))
+
+    def gmv(x):                                               # (n,B)->(mg,B)
+        return pll.gmv_lane(G_lane, pad_rows(x, n_pad))[:mg]
+
+    def gtmv(v):                                              # (mg,B)->(n,B)
+        return pll.gtmv_lane(G_lane, pad_rows(v, mg_pad))[:n]
+
+    def pmv(x):                                               # (n,B)->(n,B)
+        return pll.gmv_lane(P_lane, pad_rows(x, n_pad))[:n]
+
+    def ghat_mv(x):
+        return jnp.concatenate([gmv(x), x, -x])               # (m, B)
+
+    def ghat_tmv(v):
+        return gtmv(v[:mg]) + v[mg:mg + n] - v[mg + n:]       # (n, B)
+
+    # --- initial point ---
+    x = jnp.zeros((n, B), dtype) if x0 is None else t(jnp.clip(x0, lb, ub))
+    resid = hhat_s - ghat_mv(x)
+    s = jnp.maximum(resid, 1.0)
+    z = 1.0 / s
+
+    reg_rel_f = 1e-12 if dtype == jnp.float64 else 3e-6
+    reg_rel = jnp.asarray(reg_rel_f, dtype)
+    k_precision = jax.lax.Precision.HIGH
+    diag_pad = jnp.arange(n, n_pad)
+
+    def factor(s, z):
+        w = z / s                                             # (m, B)
+        w_g = t(w[:mg])                                       # (B, mg)
+        K = P_s + jnp.matmul(jnp.swapaxes(G_c, 1, 2) * w_g[:, None, :],
+                             G_c, precision=k_precision)
+        dbox = t(w[mg:mg + n] + w[mg + n:])                   # (B, n)
+        di = jnp.arange(n)
+        K = K.at[:, di, di].add(dbox)
+        reg = reg_rel * jnp.max(jnp.diagonal(K, axis1=1, axis2=2), axis=1) \
+            + jnp.asarray(1e-30, dtype)
+        K = K.at[:, di, di].add(reg[:, None])
+        K = jnp.pad(K, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        K = K.at[:, diag_pad, diag_pad].set(1.0)
+        return pll.cholesky_lane(K)                           # (n_pad,n_pad,B)
+
+    def kkt_solve(L, s, z, rd, rp, rc):
+        w = z / s
+        rhs = -(rd + ghat_tmv(w * rp - rc / s))               # (n, B)
+        dx = pll.cho_solve_lane(L, pad_rows(rhs, n_pad))[:n]
+        dz = w * (ghat_mv(dx) + rp) - rc / s
+        ds = -(rc + s * dz) / z
+        return dx, ds, dz
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))  # (B,)
+
+    def iterate(x, s, z):
+        rd = pmv(x) + q_s + ghat_tmv(z)
+        rp = ghat_mv(x) + s - hhat_s
+        mu = jnp.sum(s * z, axis=0) / m                       # (B,)
+
+        L = factor(s, z)
+
+        rc_aff = s * z
+        dx_a, ds_a, dz_a = kkt_solve(L, s, z, rd, rp, rc_aff)
+        alpha_p = max_step(s, ds_a)
+        alpha_d = max_step(z, dz_a)
+        mu_aff = jnp.sum((s + alpha_p * ds_a) * (z + alpha_d * dz_a),
+                         axis=0) / m
+        sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
+
+        rc = s * z + ds_a * dz_a - sigma[None, :] * mu[None, :]
+        dx, ds, dz = kkt_solve(L, s, z, rd, rp, rc)
+        alpha = jnp.minimum(max_step(s, ds), max_step(z, dz))[None, :]
+
+        x_new = x + alpha * dx
+        s_new = s + alpha * ds
+        z_new = z + alpha * dz
+        ok = (jnp.all(jnp.isfinite(x_new), axis=0)
+              & jnp.all(jnp.isfinite(s_new), axis=0)
+              & jnp.all(jnp.isfinite(z_new), axis=0))          # (B,)
+        okb = ok[None, :]
+        x = jnp.where(okb, x_new, x)
+        s = jnp.where(okb, s_new, s)
+        z = jnp.where(okb, z_new, z)
+        return x, s, z, mu, rp, rd, ok
+
+    if fixed_iters is not None:
+        # Fused path: the whole Mehrotra iteration (factor + predictor +
+        # corrector + step algebra) runs as ONE Pallas launch per iteration
+        # with the factor and G resident in VMEM; only the KKT formation
+        # (MXU matmul) and its layout transpose stay in XLA. See
+        # pallas_linalg.ipm_iterate_lane.
+        mg_pad = G_lane.shape[0]
+        mrow = jnp.arange(mg_pad)[:, None] < mg
+        nrow = jnp.arange(n_pad)[:, None] < n
+        one = jnp.ones((), dtype)
+
+        def lane_pad(v, rows, fill):
+            out = jnp.full((rows, B), fill, dtype)
+            return out.at[:v.shape[0]].set(v)
+
+        hg = lane_pad(t(h * d_row), mg_pad, one)
+        hu_ = lane_pad(ub_t, n_pad, one)
+        hl = lane_pad(-lb_t, n_pad, one)
+        q_lane = lane_pad(q_s, n_pad, 0.0)
+        xl = lane_pad(x, n_pad, 0.0)
+        sg = jnp.maximum(hg - pll.gmv_lane(G_lane, xl), 1.0)
+        su = jnp.maximum(hu_ - xl, 1.0)
+        sl = jnp.maximum(hl + xl, 1.0)
+        zg = jnp.where(mrow, 1.0 / sg, 0.0)
+        zu = jnp.where(nrow, 1.0 / su, 0.0)
+        zl = jnp.where(nrow, 1.0 / sl, 0.0)
+        scal = jnp.zeros((8, B), dtype).at[0].set(jnp.finfo(dtype).max)
+
+        G_c_pad = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
+        P_pad = jnp.pad(P_s, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
+        pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
+
+        def fori_body(_, state):
+            xl, sg, su, sl, zg, zu, zl, scal = state
+            wg_c = t2(zg[:mg] / sg[:mg])                    # (B, mg)
+            # pure P + G^T W_g G on the MXU; box diagonal + regularization
+            # are added inside the fused kernel (in VMEM)
+            K = P_pad + jnp.matmul(
+                jnp.swapaxes(G_c_pad, 1, 2) * wg_c[:, None, :],
+                G_c_pad, precision=k_precision)
+            K_lane = jnp.transpose(K, (2, 1, 0))
+            px = pll.gmv_lane(P_lane, xl)
+            return pll.ipm_iterate_lane(
+                K_lane, G_lane, px, q_lane, pdiag, hg, hu_, hl,
+                xl, sg, su, sl, zg, zu, zl, scal,
+                mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f)
+
+        t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
+        xl, sg, su, sl, zg, zu, zl, scal = jax.lax.fori_loop(
+            0, fixed_iters, fori_body,
+            (xl, sg, su, sl, zg, zu, zl, scal))
+        x = xl[:n]
+        s = jnp.concatenate([sg[:mg], su[:n], sl[:n]])
+        z = jnp.concatenate([zg[:mg], zu[:n], zl[:n]])
+        iters = jnp.full((B0,), fixed_iters)
+    else:
+        hnorm = 1.0 + jnp.linalg.norm(hhat_s, axis=0)
+        qnorm = 1.0 + jnp.linalg.norm(q_s, axis=0)
+
+        def body(state):
+            x, s, z, it, stop = state
+            x2, s2, z2, mu, rp, rd, ok = iterate(x, s, z)
+            active = ~stop
+            keep = active[None, :]
+            x = jnp.where(keep, x2, x)
+            s = jnp.where(keep, s2, s)
+            z = jnp.where(keep, z2, z)
+            mu_new = jnp.sum(s * z, axis=0) / m
+            converged_now = ((mu_new < tol)
+                             & (jnp.linalg.norm(rp, axis=0) / hnorm < tol * 10)
+                             & (jnp.linalg.norm(rd, axis=0) / qnorm < tol * 10))
+            stalled = (mu_new > 0.7 * mu) & (mu_new < tol * 1e3)
+            stop = stop | converged_now | stalled | ~ok
+            it = it + active
+            return x, s, z, it, stop
+
+        def cond(state):
+            _, _, _, it, stop = state
+            return jnp.any((it < max_iter) & (~stop))
+
+        x, s, z, iters_all, _ = jax.lax.while_loop(
+            cond, body, (x, s, z, jnp.zeros((B,), jnp.int32),
+                         jnp.zeros((B,), bool)))
+        iters = iters_all[:B0]
+
+    mu_f = jnp.sum(s * z, axis=0) / m
+    rp_f = jnp.linalg.norm(ghat_mv(x) + s - hhat_s, axis=0)
+    rd_f = jnp.linalg.norm(pmv(x) + q_s + ghat_tmv(z), axis=0)
+    conv = (mu_f < tol * 10) \
+        & (rp_f / (1.0 + jnp.linalg.norm(hhat_s, axis=0)) < tol * 100) \
+        & (rd_f / (1.0 + jnp.linalg.norm(q_s, axis=0)) < tol * 100)
+
+    xb = t(x)[:B0]                                            # (B0, n)
+    P0, q0 = P[:B0], q[:B0]
+    obj = 0.5 * jnp.einsum("bi,bij,bj->b", xb, P0, xb) \
+        + jnp.sum(q0 * xb, axis=1)
+    zb = t(z)[:B0]
+    z_unscaled = jnp.concatenate(
+        [d_row[:B0] * zb[:, :mg], zb[:, mg:]], axis=1) \
+        / cost_scale[:B0, None]
+    return QPSolution(x=xb, obj=obj, iters=iters,
+                      converged=conv[:B0], gap=mu_f[:B0], z=z_unscaled)

@@ -175,12 +175,140 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                      qp_iters=out.qp_iters, qp_fails=out.qp_fails)
 
 
+def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
+                      u_lim: float,
+                      max_scp_iter: int = 20,
+                      delta_tol: float = 1e-3,
+                      delta_tol_rel: float = 0.0,
+                      u_step_tol: float = 0.0,
+                      merit_patience: int = 0,
+                      slack_weight: float = 1e5,
+                      slack_ub: float = 1e8,
+                      constraint_tolerance: float = 2 * 2.1 * 1e-3,
+                      qp_max_iter: int = 30,
+                      qp_tol: float = 1e-8,
+                      qp_fixed_iters: int | None = None,
+                      qp_cheap_k: bool = False,
+                      compat_q5: bool = True) -> SCPResult:
+    """Natively-batched :func:`solve_scp` (leading batch axis).
+
+    Functionally equivalent to ``vmap(solve_scp)`` — same merit/violation
+    stopping, per-lane freeze semantics — but the inner QP runs through
+    :func:`qp.solve_qp_batched`, which controls TPU memory layout explicitly
+    (lane-layout factors/matvecs, no per-iteration transposes). Measured
+    ~1.4x faster than the vmapped path on a v5e at B=1024.
+    """
+    sys = problem.sys
+    dtype = u_init.dtype
+    b, v, hp, _, hu = sys.b3.shape
+    n = v * hu
+    n_con = sys.dsafe2_pair.shape[1] * hp + v * sys.obst_pos.shape[1] * hp
+    single_veh = v == 1
+
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    u_init = u_init.at[:, 0].set(
+        jnp.where(jnp.abs(u_init[:, 0]) < eps, eps, u_init[:, 0]))
+
+    P_qp = jnp.zeros((b, n + 1, n + 1), dtype)
+    for i in range(v):  # static unroll over vehicles
+        P_qp = P_qp.at[:, i * hu:(i + 1) * hu, i * hu:(i + 1) * hu].set(
+            2.0 * problem.phi0[:, i])
+    q_qp = jnp.concatenate([problem.psi0.reshape(b, n),
+                            jnp.full((b, 1), slack_weight, dtype)], axis=1)
+    lb = jnp.concatenate([jnp.full((b, n), -u_lim, dtype),
+                          jnp.zeros((b, 1), dtype)], axis=1)
+    ub = jnp.concatenate([jnp.full((b, n), u_lim, dtype),
+                          jnp.full((b, 1), slack_ub, dtype)], axis=1)
+    slack_col = jnp.full((b, n_con, 1), -1.0, dtype)
+
+    ev_fn = jax.vmap(
+        lambda s, u: con.evaluate(s, u, constraint_tolerance, compat_q5))
+    obj_fn = jax.vmap(con.objective)
+    ev0 = ev_fn(sys, u_init)
+    obj_init = obj_fn(problem.phi0, problem.psi0, problem.gamma0, u_init)
+
+    class Carry(NamedTuple):
+        u: jax.Array
+        obj: jax.Array
+        viol: jax.Array
+        feasible: jax.Array
+        done: jax.Array
+        it: jax.Array
+        qp_iters: jax.Array
+        qp_fails: jax.Array
+        best_merit: jax.Array
+        stall: jax.Array
+
+    zero = jnp.zeros((b,), jnp.int32)
+    init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
+                 feasible=ev0.feasible, done=jnp.zeros((b,), bool),
+                 it=zero, qp_iters=zero, qp_fails=zero,
+                 best_merit=obj_init + slack_weight * ev0.max_violation,
+                 stall=zero)
+
+    def body(c: Carry) -> Carry:
+        active = (c.it < max_scp_iter) & (~c.done)
+        G_c, rhs = jax.vmap(con.linearize)(sys, c.u)
+        G = jnp.concatenate([G_c, slack_col], axis=2)
+        x0 = jnp.concatenate([c.u, jnp.zeros((b, 1), dtype)], axis=1)
+        sol = qp.solve_qp_batched(P_qp, q_qp, G, rhs, lb, ub,
+                                  max_iter=qp_max_iter, tol=qp_tol, x0=x0,
+                                  fixed_iters=qp_fixed_iters)
+        ok = jnp.all(jnp.isfinite(sol.x), axis=1)
+        u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
+        ev = ev_fn(sys, u_new)
+        obj_new = obj_fn(problem.phi0, problem.psi0, problem.gamma0, u_new)
+        merit_prev = c.obj + slack_weight * c.viol
+        merit_new = obj_new + slack_weight * ev.max_violation
+        delta = merit_prev - merit_new
+        thresh = delta_tol + delta_tol_rel * jnp.abs(merit_new)
+        small_delta = (jnp.abs(delta) < thresh) | ~ok
+        if u_step_tol > 0:
+            small_step = jnp.max(jnp.abs(u_new - c.u), axis=1) < u_step_tol
+            small_delta = small_delta | small_step
+        if merit_patience > 0:
+            improved = (c.best_merit - merit_new) >= thresh
+            stall = jnp.where(improved, 0, c.stall + 1)
+            small_delta = small_delta | (stall >= merit_patience)
+        else:
+            stall = c.stall
+        best_merit = jnp.minimum(c.best_merit, merit_new)
+        if single_veh:
+            stop = small_delta
+        else:
+            stop = small_delta & (ev.max_violation <= constraint_tolerance)
+
+        # freeze inactive lanes (matches vmapped while_loop select semantics)
+        sel = active
+        selc = sel[:, None]
+        return Carry(
+            u=jnp.where(selc, u_new, c.u),
+            obj=jnp.where(sel, obj_new, c.obj),
+            viol=jnp.where(sel, ev.max_violation, c.viol),
+            feasible=jnp.where(sel, ev.feasible, c.feasible),
+            done=jnp.where(sel, stop, c.done),
+            it=c.it + sel,
+            qp_iters=c.qp_iters + jnp.where(sel, sol.iters, 0),
+            qp_fails=c.qp_fails + jnp.where(sel & ~sol.converged, 1, 0),
+            best_merit=jnp.where(sel, best_merit, c.best_merit),
+            stall=jnp.where(sel, stall, c.stall))
+
+    def cond(c: Carry):
+        return jnp.any((c.it < max_scp_iter) & (~c.done))
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SCPResult(u=out.u, feasible=out.feasible, converged=out.done,
+                     obj=out.obj, max_violation=out.viol, iters=out.it,
+                     qp_iters=out.qp_iters, qp_fails=out.qp_fails)
+
+
 def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
                     u_lim: float,
                     max_scp_iter: int = 20,
                     phase1_iters: int = 8,
                     straggler_frac: int = 4,
                     phases: tuple[tuple[int, int], ...] | None = None,
+                    stacked: bool | None = None,
                     **kw) -> SCPResult:
     """Multi-phase batched SCP with straggler repacking.
 
@@ -207,11 +335,18 @@ def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
         phases = ((phase1_iters, 1),
                   (max_scp_iter - phase1_iters, straggler_frac))
     assert phases[0][1] == 1, "first phase must cover the full batch"
+    if stacked is None:
+        stacked = jax.default_backend() == "tpu"
 
-    res = jax.vmap(
-        lambda p, u: solve_scp(p, u, u_lim=u_lim,
-                               max_scp_iter=phases[0][0], **kw)
-    )(problems, u_init)
+    def run(p, u, iters):
+        if stacked:
+            return solve_scp_stacked(p, u, u_lim=u_lim,
+                                     max_scp_iter=iters, **kw)
+        return jax.vmap(
+            lambda pi, ui: solve_scp(pi, ui, u_lim=u_lim,
+                                     max_scp_iter=iters, **kw))(p, u)
+
+    res = run(problems, u_init, phases[0][0])
 
     for iters_k, frac_k in phases[1:]:
         m = max(b // frac_k, 1)
@@ -219,10 +354,7 @@ def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
         order = jnp.argsort(res.converged)
         idx = order[:m]
         sub_problems = jax.tree_util.tree_map(lambda x: x[idx], problems)
-        res_k = jax.vmap(
-            lambda p, u: solve_scp(p, u, u_lim=u_lim,
-                                   max_scp_iter=iters_k, **kw)
-        )(sub_problems, res.u[idx])
+        res_k = run(sub_problems, res.u[idx], iters_k)
 
         take = ~res.converged[idx]
         res_k = res_k._replace(

@@ -1,0 +1,103 @@
+"""Natively-batched QP solver (qp.solve_qp_batched) and the fused IPM
+iteration kernel (pallas_linalg.ipm_iterate_lane), validated on CPU:
+
+* the CPU fallback is vmap(solve_qp) — spot-check KKT conditions;
+* the TPU lane path (fused Pallas kernel) runs here in interpret mode and
+  must match the vmapped implementation to f32 tolerance;
+* solve_scp_stacked must reproduce vmap(solve_scp) exactly (same QPs).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scp_tpu.ops import pallas_linalg as pll
+from scp_tpu.solvers import qp, scp
+
+
+def _random_qps(B=128, mg=9, n=17, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    A = jax.random.normal(ks[0], (B, n, n), dtype)
+    P = jnp.einsum("bij,bkj->bik", A, A) / n + 3 * jnp.eye(n, dtype=dtype)
+    q = jax.random.normal(ks[1], (B, n), dtype)
+    G = jax.random.normal(ks[2], (B, mg, n), dtype)
+    h = jnp.ones((B, mg), dtype) * 2.0
+    lb = -jnp.ones((B, n), dtype)
+    ub = jnp.ones((B, n), dtype)
+    return P, q, G, h, lb, ub
+
+
+def test_batched_fallback_kkt():
+    args = _random_qps(B=32)
+    sol = qp.solve_qp_batched(*args, use_pallas=False)
+    P, q, G, h, lb, ub = [np.asarray(a, np.float64) for a in args]
+    x = np.asarray(sol.x, np.float64)
+    viol = np.maximum(np.einsum("bmn,bn->bm", G, x) - h, 0).max()
+    assert viol < 1e-5
+    assert np.all(x <= ub + 1e-6) and np.all(x >= lb - 1e-6)
+    z = np.asarray(sol.z, np.float64)
+    mg = h.shape[1]
+    n = q.shape[1]
+    rd = (np.einsum("bij,bj->bi", P, x) + q
+          + np.einsum("bmn,bm->bn", G, z[:, :mg])
+          + z[:, mg:mg + n] - z[:, mg + n:])
+    assert np.abs(rd[np.asarray(sol.converged)]).max() < 1e-3
+
+
+def test_fused_lane_path_matches_vmap_interpret():
+    """The fused Pallas iteration (interpret mode) == vmapped solver."""
+    args = _random_qps(B=128)
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_fused = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True))(*args)
+    finally:
+        pll.INTERPRET = old
+    r_ref = jax.jit(lambda *a: qp.solve_qp_batched(
+        *a, fixed_iters=12, tol=1e-6, use_pallas=False))(*args)
+    np.testing.assert_allclose(np.asarray(r_fused.x), np.asarray(r_ref.x),
+                               atol=5e-5)
+    assert float(jnp.mean(r_fused.converged == r_ref.converged)) > 0.97
+
+
+def test_fused_lane_path_unaligned_batch():
+    """Batch sizes off the 128-lane multiple are padded with benign QPs."""
+    args = _random_qps(B=50)
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_fused = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True))(*args)
+    finally:
+        pll.INTERPRET = old
+    r_ref = qp.solve_qp_batched(*args, fixed_iters=12, tol=1e-6,
+                                use_pallas=False)
+    assert r_fused.x.shape == (50, args[1].shape[1])
+    np.testing.assert_allclose(np.asarray(r_fused.x), np.asarray(r_ref.x),
+                               atol=5e-5)
+
+
+def test_solve_scp_stacked_matches_vmap():
+    """Stacked SCP == vmapped SCP bit-for-bit when both use the same QP."""
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch(
+        "circle", 12, key=jax.random.PRNGKey(8), dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=6, hu=6, max_scp_iter=6, qp_max_iter=20)
+    carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
+    problem, _ = jax.jit(jax.vmap(
+        lambda d, c: engine.controller_pre(cfg, d, c)))(data, carry)
+    kw = engine._scp_kwargs(cfg)
+    u_lim = kw.pop("u_lim")
+    r1 = jax.jit(lambda p, u: scp.solve_scp_batch(
+        p, u, u_lim=u_lim, max_scp_iter=6, stacked=False, **kw))(
+            problem, carry.u_warm)
+    r2 = jax.jit(lambda p, u: scp.solve_scp_batch(
+        p, u, u_lim=u_lim, max_scp_iter=6, stacked=True, **kw))(
+            problem, carry.u_warm)
+    np.testing.assert_array_equal(np.asarray(r1.u), np.asarray(r2.u))
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(np.asarray(r1.feasible),
+                                  np.asarray(r2.feasible))
