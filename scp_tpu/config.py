@@ -84,6 +84,8 @@ class SCPConfig:
     qp_max_iter: int = 30
     qp_tol: float = 1e-7
     qp_fixed_iters: int = 0   # >0: run exactly this many IPM iterations
+    qp_warm_dual: bool = False  # warm-start IPM duals from the previous
+    # SCP iteration's solve (allows fewer fixed iterations)
     qp_cheap_k: bool = False  # form KKT matrix with fast bf16 matmul
 
     # Integration substeps: RK4 steps per tick for plant / delay compensation.

@@ -46,7 +46,7 @@ class QPSolution(NamedTuple):
 
 
 def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
-             x0=None, fixed_iters: int | None = None,
+             x0=None, z0=None, fixed_iters: int | None = None,
              cheap_k: bool = False,
              use_pallas: bool | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
@@ -103,6 +103,14 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     resid = hhat_s - ghat_mv(x)
     s = jnp.maximum(resid, 1.0)
     z = 1.0 / s
+    if z0 is not None:
+        # dual warm start (e.g. from the previous SCP iteration's solve):
+        # re-scale the caller's duals into equilibrated units and clip away
+        # from the boundary/infinity so mu_0 stays moderate. Non-positive
+        # entries mean "no information" and keep the cold init.
+        z_w = z0 * cost_scale / jnp.concatenate(
+            [d_row, jnp.ones((2 * n,), dtype)])
+        z = jnp.where(z0 > 0, jnp.clip(z_w, 1e-3, 1e3), z)
 
     # Regularization relative to the KKT diagonal scale: f32 Cholesky on the
     # ill-conditioned late-stage KKT systems needs a proportionally larger
@@ -268,7 +276,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 
 
 def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
-                     tol: float = 1e-8, x0=None,
+                     tol: float = 1e-8, x0=None, z0=None,
                      fixed_iters: int | None = None,
                      use_pallas: bool | None = None) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
@@ -289,12 +297,19 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
+        if z0 is None:
+            return jax.vmap(
+                lambda P, q, G, h, lb, ub, x0: solve_qp(
+                    P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
+                    fixed_iters=fixed_iters, use_pallas=False)
+            )(P, q, G, h, lb, ub,
+              jnp.zeros_like(q) if x0 is None else x0)
         return jax.vmap(
-            lambda P, q, G, h, lb, ub, x0: solve_qp(
+            lambda P, q, G, h, lb, ub, x0, z0: solve_qp(
                 P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
-                fixed_iters=fixed_iters, use_pallas=False)
+                z0=z0, fixed_iters=fixed_iters, use_pallas=False)
         )(P, q, G, h, lb, ub,
-          jnp.zeros_like(q) if x0 is None else x0)
+          jnp.zeros_like(q) if x0 is None else x0, z0)
 
     from scp_tpu.ops import pallas_linalg as pll
 
@@ -316,6 +331,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         ub = jnp.concatenate([ub, jnp.ones((e, n), dtype)])
         if x0 is not None:
             x0 = jnp.concatenate([x0, jnp.zeros((e, n), dtype)])
+        if z0 is not None:
+            z0 = jnp.concatenate([z0, jnp.ones((e, m), dtype)])
     B = b_pad
 
     # --- equilibration (canonical, once per solve) ---
@@ -362,6 +379,11 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     resid = hhat_s - ghat_mv(x)
     s = jnp.maximum(resid, 1.0)
     z = 1.0 / s
+    if z0 is not None:
+        # dual warm start; non-positive entries keep the cold init.
+        z_w0 = t(z0) * cost_scale[None, :] / jnp.concatenate(
+            [t(d_row), jnp.ones((2 * n, B), dtype)], axis=0)
+        z = jnp.where(t(z0) > 0, jnp.clip(z_w0, 1e-3, 1e3), z)
 
     reg_rel_f = 1e-12 if dtype == jnp.float64 else 3e-6
     reg_rel = jnp.asarray(reg_rel_f, dtype)
@@ -452,6 +474,20 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         zg = jnp.where(mrow, 1.0 / sg, 0.0)
         zu = jnp.where(nrow, 1.0 / su, 0.0)
         zl = jnp.where(nrow, 1.0 / sl, 0.0)
+        if z0 is not None:
+            # dual warm start; non-positive entries keep the cold init
+            z_w = z0 * cost_scale[:, None] / jnp.concatenate(
+                [d_row, jnp.ones((B, 2 * n), dtype)], axis=1)
+            z_w = jnp.clip(z_w, 1e-3, 1e3)
+            zg0 = lane_pad(t(z0[:, :mg]), mg_pad, 0.0)
+            zu0 = lane_pad(t(z0[:, mg:mg + n]), n_pad, 0.0)
+            zl0 = lane_pad(t(z0[:, mg + n:]), n_pad, 0.0)
+            zg = jnp.where(mrow & (zg0 > 0),
+                           lane_pad(t(z_w[:, :mg]), mg_pad, 0.0), zg)
+            zu = jnp.where(nrow & (zu0 > 0),
+                           lane_pad(t(z_w[:, mg:mg + n]), n_pad, 0.0), zu)
+            zl = jnp.where(nrow & (zl0 > 0),
+                           lane_pad(t(z_w[:, mg + n:]), n_pad, 0.0), zl)
         scal = jnp.zeros((8, B), dtype).at[0].set(jnp.finfo(dtype).max)
 
         G_c_pad = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))

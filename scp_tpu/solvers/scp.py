@@ -57,6 +57,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               qp_tol: float = 1e-8,
               qp_fixed_iters: int | None = None,
               qp_cheap_k: bool = False,
+              qp_warm_dual: bool = False,
               compat_q5: bool = True) -> SCPResult:
     """Solve one SCP instance. Shapes are static; vmap for batches.
 
@@ -118,13 +119,16 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         qp_fails: jax.Array
         best_merit: jax.Array
         stall: jax.Array
+        z: jax.Array
 
+    m_qp = n_con + 2 * (n + 1)
     init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
                  feasible=ev0.feasible, done=jnp.array(False),
                  it=jnp.array(0), qp_iters=jnp.array(0),
                  qp_fails=jnp.array(0),
                  best_merit=obj_init + slack_weight * ev0.max_violation,
-                 stall=jnp.array(0))
+                 stall=jnp.array(0),
+                 z=jnp.zeros((m_qp,), dtype))
 
     def body(c: Carry) -> Carry:
         G_c, rhs = con.linearize(sys, c.u)
@@ -132,6 +136,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         x0 = jnp.concatenate([c.u, jnp.zeros((1,), dtype)])
         sol = qp.solve_qp(P_qp, q_qp, G, rhs, lb, ub,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0,
+                          z0=c.z if qp_warm_dual else None,
                           fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k)
         # NaN guard: a diverged inner solve must not poison the iterate.
         ok = jnp.all(jnp.isfinite(sol.x))
@@ -164,7 +169,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
             u=u_new, obj=obj_new, viol=ev.max_violation, feasible=ev.feasible,
             done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters,
             qp_fails=c.qp_fails + jnp.where(sol.converged, 0, 1),
-            best_merit=best_merit, stall=stall)
+            best_merit=best_merit, stall=stall, z=sol.z)
 
     def cond(c: Carry):
         return (c.it < max_scp_iter) & (~c.done)
@@ -189,6 +194,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       qp_tol: float = 1e-8,
                       qp_fixed_iters: int | None = None,
                       qp_cheap_k: bool = False,
+                      qp_warm_dual: bool = False,
                       compat_q5: bool = True) -> SCPResult:
     """Natively-batched :func:`solve_scp` (leading batch axis).
 
@@ -238,13 +244,16 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         qp_fails: jax.Array
         best_merit: jax.Array
         stall: jax.Array
+        z: jax.Array
 
     zero = jnp.zeros((b,), jnp.int32)
+    m_qp = n_con + 2 * (n + 1)
     init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
                  feasible=ev0.feasible, done=jnp.zeros((b,), bool),
                  it=zero, qp_iters=zero, qp_fails=zero,
                  best_merit=obj_init + slack_weight * ev0.max_violation,
-                 stall=zero)
+                 stall=zero,
+                 z=jnp.zeros((b, m_qp), dtype))
 
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)
@@ -253,6 +262,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         x0 = jnp.concatenate([c.u, jnp.zeros((b, 1), dtype)], axis=1)
         sol = qp.solve_qp_batched(P_qp, q_qp, G, rhs, lb, ub,
                                   max_iter=qp_max_iter, tol=qp_tol, x0=x0,
+                                  z0=c.z if qp_warm_dual else None,
                                   fixed_iters=qp_fixed_iters)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
@@ -291,7 +301,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
             qp_iters=c.qp_iters + jnp.where(sel, sol.iters, 0),
             qp_fails=c.qp_fails + jnp.where(sel & ~sol.converged, 1, 0),
             best_merit=jnp.where(sel, best_merit, c.best_merit),
-            stall=jnp.where(sel, stall, c.stall))
+            stall=jnp.where(sel, stall, c.stall),
+            z=jnp.where(selc, sol.z, c.z))
 
     def cond(c: Carry):
         return jnp.any((c.it < max_scp_iter) & (~c.done))
