@@ -84,6 +84,35 @@ def worker():
     print(f"# batch={BATCH} n_veh={N_VEH} hp={HP} step_ms={dt * 1e3:.1f} "
           f"compile_s={compile_s:.1f}", file=sys.stderr)
 
+    # Secondary metric (BASELINE.json): p50 per-step latency at the N=20
+    # horizon, single scenario (the real-time MPC budget). 10 closed-loop
+    # steps chained in ONE jit so host/tunnel round-trips don't pollute the
+    # on-device number.
+    from scp_tpu.scenarios import builders
+    from scp_tpu.sim import engine as eng
+
+    cfg1, data1 = builders.circle(N_VEH, dtype=jnp.float32)
+    cfg1 = cfg1.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
+                        merit_patience=2, qp_tol=1e-6, qp_fixed_iters=10)
+    LSTEPS = 10
+
+    @jax.jit
+    def run10(carry):
+        def body(c, _):
+            c2, out = eng.mpc_step(cfg1, data1, c)
+            return c2, out.obj
+        return jax.lax.scan(body, carry, None, length=LSTEPS)
+
+    c1 = eng.init_carry(cfg1, data1)
+    c_out, objs = run10(c1)
+    float(objs.sum())                        # force completion (compile)
+    t0 = time.time()
+    c_out, objs = run10(c1)
+    float(objs.sum())
+    lat = (time.time() - t0 - 0.029) / LSTEPS   # subtract tunnel readback
+    print(f"# p50_step_latency_ms={lat * 1e3:.1f} (1 scenario, hp={HP})",
+          file=sys.stderr)
+
 
 def main():
     env = dict(os.environ)
