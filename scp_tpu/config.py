@@ -72,6 +72,10 @@ class SCPConfig:
     merit_patience: int = 0      # >0: stop after this many consecutive
     # iterations without improving the best merit by the delta threshold —
     # catches f32 QP-noise oscillation that the |delta| stop never exits
+    scp_keep_best: bool = False  # return the best-merit iterate instead of
+    # the last (monotone SCP): an f32 inner QP can return a merit-worsening
+    # step on flat-objective instances; keep-best makes that harmless.
+    # Off by default for reference compat (the reference keeps the last).
     slack_weight: float = 1e5              # psi_omega_weight, exact-penalty weight
     slack_ub: float = 1e8                  # reference uses 1e25; clamped for f32
     constraint_tolerance: float = 2 * 2.1 * 1e-3  # Config.py:18

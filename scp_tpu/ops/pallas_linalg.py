@@ -700,10 +700,12 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     mg_pad = _pad_to(mg, _MV_MB)
     n_pad = pad_dim(n)
 
-    def kernel(k_hbm, g_hbm, px_ref, q_ref, pd_ref, hg_ref, hu_ref, hl_ref,
+    def kernel(k_hbm, g_hbm, px_ref, q_ref, pd_ref,
                x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
+               rpg_ref, rpu_ref, rpl_ref,
                scal_ref,
                xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
+               rpgo_ref, rpuo_ref, rplo_ref,
                scalo_ref,
                kv_ref, gv_ref, panel_ref, y_ref, sem_k, sem_g):
         i = pl.program_id(0)
@@ -724,7 +726,6 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         sg, su, sl = sg_ref[...], su_ref[...], sl_ref[...]
         zg, zu, zl = zg_ref[...], zu_ref[...], zl_ref[...]
         px, q = px_ref[...], q_ref[...]
-        hg, hu_, hl = hg_ref[...], hu_ref[...], hl_ref[...]
 
         wg = jnp.where(mk_g, zg / sg, 0.0)
         wu = jnp.where(mk_n, zu / su, 0.0)
@@ -751,27 +752,32 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 acc = acc + jnp.sum(blk * sub[:, None, :], axis=0)
             return acc
 
-        gx = gmv(x)
-        rp_g = jnp.where(mk_g, gx + sg - hg, 0.0)
-        rp_u = jnp.where(mk_n, x + su - hu_, 0.0)
-        rp_l = jnp.where(mk_n, -x + sl - hl, 0.0)
+        # rp maintained by the exact (1 - alpha) recurrence: recomputing
+        # G x + s - h in f32 leaves ~1e-7 noise that active-row barrier
+        # weights (z/s up to 1e10) amplify into the Newton rhs — see
+        # scp_tpu/solvers/qp.py.
+        rp_g = jnp.where(mk_g, rpg_ref[...], 0.0)
+        rp_u = jnp.where(mk_n, rpu_ref[...], 0.0)
+        rp_l = jnp.where(mk_n, rpl_ref[...], 0.0)
         mu = (jnp.sum(jnp.where(mk_g, sg * zg, 0.0), axis=0)
               + jnp.sum(jnp.where(mk_n, su * zu + sl * zl, 0.0), axis=0)) \
             / m_true                                     # (TB,)
 
-        # K arrives as pure P + G^T W_g G: the box diagonal and the
-        # relative regularization are added here in VMEM, saving three
-        # full-K XLA passes (scatter-add x2 + diagonal reduction) per
-        # iteration. diag(K) is recomputed analytically from G.
+        # K arrives as pure P + G^T W_g G: the box diagonal, the Jacobi
+        # scaling to unit diagonal, and the relative regularization are all
+        # applied here in one chunked VMEM pass. The scaling is essential
+        # in f32: the raw K mixes O(1) rows with O(1/mu) barrier rows and
+        # the factorization's trailing updates destroy the small rows
+        # (see scp_tpu/solvers/qp.py::factor). diag(K) is computed
+        # analytically from G so it is ready before the K DMA lands.
         gsq = jnp.zeros((n_pad, TB), jnp.float32)
         for j in range(mg_pad // 16):
             blk = gv_ref[pl.ds(j * 16, 16), :, :]
             wsub = wg[j * 16:(j + 1) * 16]
             gsq = gsq + jnp.sum(blk * blk * wsub[:, None, :], axis=0)
         dbox = jnp.where(mk_n, zu / su + zl / sl, 0.0)
-        dk = pd_ref[...] + gsq + dbox
-        regv = reg_rel * jnp.max(dk, axis=0) + 1e-30
-        addv = dbox + regv[None, :]                      # (n_pad, TB)
+        dk = pd_ref[...] + gsq + dbox                    # (n_pad, TB)
+        dsc = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))
 
         dma_k.wait()
         for c in range(n_pad // _CHUNK):
@@ -780,16 +786,20 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 jnp.int32, (_CHUNK, n_pad, TB), 0) + c * _CHUNK
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (_CHUNK, n_pad, TB), 1)
-            ablk = addv[c * _CHUNK:(c + 1) * _CHUNK][:, None, :]
+            diag_mask = cols == rows
+            dbox_blk = dbox[c * _CHUNK:(c + 1) * _CHUNK][:, None, :]
+            dsc_blk = dsc[c * _CHUNK:(c + 1) * _CHUNK][:, None, :]
+            scaled = (blk + jnp.where(diag_mask, dbox_blk, 0.0)) \
+                * dsc_blk * dsc[None, :, :]
             kv_ref[pl.ds(c * _CHUNK, _CHUNK), :, :] = (
-                blk + jnp.where(cols == rows, ablk, 0.0))
+                scaled + jnp.where(diag_mask, reg_rel, 0.0))
         _factor_in_place(kv_ref, panel_ref, n_pad)
 
         # rd + box parts of Ghat^T, shared by both solves:
         # rhs = -(px + q + G^T(zg + tg) + (zu + tu) - (zl + tl))
         def newton(tg, tu, tl):
             rhs = -(px + q + gtmv(zg + tg) + (zu + tu) - (zl + tl))
-            dx = _fwd_bwd_solve(kv_ref, rhs, y_ref, n_pad)
+            dx = dsc * _fwd_bwd_solve(kv_ref, dsc * rhs, y_ref, n_pad)
             gdx = gmv(dx)
             return dx, gdx
 
@@ -860,6 +870,7 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         keep = ~new_frozen
         kb = keep[None, :]
 
+        shrink = (1.0 - alpha)
         xo_ref[...] = jnp.where(kb, x_n, x)
         sgo_ref[...] = jnp.where(kb, sg_n, sg)
         suo_ref[...] = jnp.where(kb, su_n, su)
@@ -867,6 +878,9 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         zgo_ref[...] = jnp.where(kb, zg_n, zg)
         zuo_ref[...] = jnp.where(kb, zu_n, zu)
         zlo_ref[...] = jnp.where(kb, zl_n, zl)
+        rpgo_ref[...] = jnp.where(kb, shrink * rp_g, rp_g)
+        rpuo_ref[...] = jnp.where(kb, shrink * rp_u, rp_u)
+        rplo_ref[...] = jnp.where(kb, shrink * rp_l, rp_l)
         scalo_ref[0, :] = mu
         scalo_ref[1, :] = jnp.where(new_frozen, 1.0, 0.0)
         scalo_ref[2:, :] = jnp.zeros((_SUBLANE - 2, TB), jnp.float32)
@@ -874,8 +888,8 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     return kernel, mg_pad, n_pad
 
 
-def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
-                     x, sg, su, sl, zg, zu, zl, scal,
+def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
+                     x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                      *, mg: int, n: int, m_true: int, tol: float,
                      reg_rel: float = 3e-6):
     """One fused Mehrotra iteration over the whole batch.
@@ -905,13 +919,17 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
             pl.BlockSpec(memory_space=pltpu.ANY),    # K
             pl.BlockSpec(memory_space=pltpu.ANY),    # G
             vec_n, vec_n, vec_n,                     # px, q, pdiag
-            vec_m, vec_n, vec_n,                     # hg, hu, hl
             vec_n, vec_m, vec_n, vec_n,              # x, sg, su, sl
             vec_m, vec_n, vec_n,                     # zg, zu, zl
+            vec_m, vec_n, vec_n,                     # rpg, rpu, rpl
             vec_s,                                   # scal
         ],
-        out_specs=[vec_n, vec_m, vec_n, vec_n, vec_m, vec_n, vec_n, vec_s],
+        out_specs=[vec_n, vec_m, vec_n, vec_n, vec_m, vec_n, vec_n,
+                   vec_m, vec_n, vec_n, vec_s],
         out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
             jax.ShapeDtypeStruct((n_pad, B), f32),
             jax.ShapeDtypeStruct((mg_pad, B), f32),
             jax.ShapeDtypeStruct((n_pad, B), f32),
@@ -929,6 +947,6 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(K_lane, G_lane, px, q, pdiag, hg, hu_, hl,
-      x, sg, su, sl, zg, zu, zl, scal)
+    )(K_lane, G_lane, px, q, pdiag,
+      x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal)
     return outs

@@ -212,6 +212,7 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
         delta_tol=cfg.delta_tol, delta_tol_rel=cfg.delta_tol_rel,
         u_step_tol=cfg.u_step_tol,
         merit_patience=cfg.merit_patience,
+        keep_best=cfg.scp_keep_best,
         slack_weight=cfg.slack_weight,
         slack_ub=cfg.slack_ub,
         constraint_tolerance=cfg.constraint_tolerance,

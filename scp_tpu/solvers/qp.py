@@ -47,7 +47,7 @@ class QPSolution(NamedTuple):
 
 def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
              x0=None, z0=None, fixed_iters: int | None = None,
-             cheap_k: bool = False,
+             cheap_k: bool = False, refine_steps: int = 0,
              use_pallas: bool | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
 
@@ -141,32 +141,55 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     pad = n_pad - n
 
     def factor(s, z):
-        """Cholesky of the condensed KKT matrix — ONE factorization per IPM
-        iteration, shared by the predictor and corrector solves."""
+        """Cholesky of the Jacobi-scaled condensed KKT matrix — ONE
+        factorization per IPM iteration, shared by the predictor and
+        corrector solves.
+
+        The raw K mixes O(1) rows (tracking curvature) with O(1/mu) rows
+        (active-constraint barrier weights); an f32 Cholesky's trailing
+        updates then destroy the small rows (absolute error ~eps*max|K|),
+        leaving the primal stuck ~1e-2 off on flat-objective instances.
+        Scaling to unit diagonal (D K D with D = diag(K)^-1/2) removes the
+        scale disparity exactly; measured primal error drops to ~1e-8.
+        The regularization becomes relative per-row (reg_rel on the unit
+        diagonal)."""
         w = z / s
         # dense G rows on the MXU; the [I; -I] box rows contribute exactly
         # a diagonal, added without materializing them.
         K = P_s + jnp.matmul(G_s.T * w[None, :mg], G_s,
                              precision=k_precision)
         K = K + eye_n * (w[mg:mg + n] + w[mg + n:])[None, :]
-        reg = reg_rel * jnp.max(jnp.diagonal(K)) + jnp.asarray(1e-30, dtype)
-        K = K + reg * eye_n
+        dsc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
+        K = K * (dsc[:, None] * dsc[None, :]) + reg_rel * eye_n
         if pad:
             K = jnp.pad(K, ((0, pad), (0, pad)))
             diag = jnp.arange(n, n_pad)
             K = K.at[diag, diag].set(1.0)
-        return chol_fn(K)
+        return chol_fn(K), dsc
 
-    def kkt_solve(L, s, z, rd, rp, rc):
-        w = z / s
-        rhs = -(rd + ghat_tmv(w * rp - rc / s))
+    def tri_solve(L, dsc, rhs):
         # Pallas batched kernel on TPU; blocked recursion elsewhere (XLA's
         # TPU triangular_solve >64x64 exhausts scoped VMEM — see
         # scp_tpu/ops/linalg.py and ops/pallas_linalg.py).
+        rhs = dsc * rhs
         if pad:
-            dx = solve_fn(L, jnp.pad(rhs, (0, pad)))[:n]
-        else:
-            dx = solve_fn(L, rhs)
+            return dsc * solve_fn(L, jnp.pad(rhs, (0, pad)))[:n]
+        return dsc * solve_fn(L, rhs)
+
+    def kkt_solve(L, dsc, s, z, rd, rp, rc):
+        w = z / s
+        rhs = -(rd + ghat_tmv(w * rp - rc / s))
+        dx = tri_solve(L, dsc, rhs)
+        if refine_steps > 0:
+            # Iterative refinement against the EXACT K action (matvecs, not
+            # the formed matrix).
+            def k_action(v):
+                gv = ghat_mv(v)
+                return P_s @ v + ghat_tmv(w * gv)
+
+            for _ in range(refine_steps):
+                r2 = rhs - k_action(dx)
+                dx = dx + tri_solve(L, dsc, r2)
         dz = w * (ghat_mv(dx) + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
@@ -176,18 +199,26 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, 0.99 * jnp.min(ratio))
 
-    def iterate(x, s, z):
-        """One Mehrotra predictor-corrector step. Returns updated (x, s, z)
-        and the pre-step mu."""
+    def iterate(x, s, z, rp):
+        """One Mehrotra predictor-corrector step. Returns updated
+        (x, s, z, rp) and the pre-step mu.
+
+        ``rp`` is maintained by the EXACT recurrence rp <- (1 - alpha) * rp
+        (the Newton primal row gives G dx + ds = -rp for both directions)
+        instead of recomputation: recomputing ``G x + s - h`` in f32 leaves
+        ~1e-7 absolute noise that the barrier weights w = z/s (1e10 on
+        active rows) amplify into the Newton rhs, stalling the primal at
+        ~1e-2 error on flat-objective instances. The recurrence drifts only
+        by the per-iteration solve error (~1e-6), which the final
+        certificate (recomputed honestly) still checks."""
         rd = P_s @ x + q_s + ghat_tmv(z)
-        rp = ghat_mv(x) + s - hhat_s
         mu = jnp.dot(s, z) / m
 
-        L = factor(s, z)
+        L, dsc = factor(s, z)
 
         # predictor (affine)
         rc_aff = s * z
-        dx_a, ds_a, dz_a = kkt_solve(L, s, z, rd, rp, rc_aff)
+        dx_a, ds_a, dz_a = kkt_solve(L, dsc, s, z, rd, rp, rc_aff)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
@@ -195,7 +226,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 
         # corrector
         rc = s * z + ds_a * dz_a - sigma * mu
-        dx, ds, dz = kkt_solve(L, s, z, rd, rp, rc)
+        dx, ds, dz = kkt_solve(L, dsc, s, z, rd, rp, rc)
         alpha_p = max_step(s, ds)
         alpha_d = max_step(z, dz)
         alpha = jnp.minimum(alpha_p, alpha_d)
@@ -203,6 +234,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         x_new = x + alpha * dx
         s_new = s + alpha * ds
         z_new = z + alpha * dz
+        rp_new = (1.0 - alpha) * rp
         # NaN guard: a failed Cholesky (loss of positive definiteness in low
         # precision) poisons the step — keep the previous iterate and flag
         # convergence-by-stall instead of propagating NaNs.
@@ -211,18 +243,21 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         x = jnp.where(ok, x_new, x)
         s = jnp.where(ok, s_new, s)
         z = jnp.where(ok, z_new, z)
-        return x, s, z, mu, rp, rd, ok
+        rp = jnp.where(ok, rp_new, rp)
+        return x, s, z, rp, mu, rd, ok
 
+    rp0 = ghat_mv(x) + s - hhat_s
+
+    # Fixed iteration count for lockstep speed, but with per-instance
+    # freeze-on-stall: once mu stops improving at the f32 floor, further
+    # Mehrotra steps can *corrupt* the iterate (observed: the 11-vehicle
+    # parallel scenario drops from feasibility 1.0 to 0.5 without this).
+    # The adaptive while-loop gets the same behavior for free from
+    # vmap's select-on-stopped-lanes semantics.
     if fixed_iters is not None:
-        # Fixed iteration count for lockstep speed, but with per-instance
-        # freeze-on-stall: once mu stops improving at the f32 floor, further
-        # Mehrotra steps can *corrupt* the iterate (observed: the 11-vehicle
-        # parallel scenario drops from feasibility 1.0 to 0.5 without this).
-        # The adaptive while-loop gets the same behavior for free from
-        # vmap's select-on-stopped-lanes semantics.
         def fori_body(_, state):
-            x, s, z, mu_prev, frozen = state
-            x2, s2, z2, mu, rp, rd, ok = iterate(x, s, z)
+            x, s, z, rp, mu_prev, frozen = state
+            x2, s2, z2, rp2, mu, rd, ok = iterate(x, s, z, rp)
             stalled = (mu > 0.7 * mu_prev) & (mu < tol * 1e3)
             converged = mu < tol
             new_frozen = frozen | stalled | converged | ~ok
@@ -230,17 +265,18 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
             x = jnp.where(keep, x2, x)
             s = jnp.where(keep, s2, s)
             z = jnp.where(keep, z2, z)
-            return (x, s, z, mu, new_frozen)
+            rp = jnp.where(keep, rp2, rp)
+            return (x, s, z, rp, mu, new_frozen)
 
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        x, s, z, _, _ = jax.lax.fori_loop(
+        x, s, z, _, _, _ = jax.lax.fori_loop(
             0, fixed_iters, fori_body,
-            (x, s, z, big, jnp.array(False)))
+            (x, s, z, rp0, big, jnp.array(False)))
         iters = jnp.array(fixed_iters)
     else:
         def body(state):
-            x, s, z, it, _ = state
-            x, s, z, mu, rp, rd, ok = iterate(x, s, z)
+            x, s, z, rp, it, _ = state
+            x, s, z, rp, mu, rd, ok = iterate(x, s, z, rp)
             mu_new = jnp.dot(s, z) / m
             converged_now = ((mu_new < tol)
                              & (jnp.linalg.norm(rp) / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 10)
@@ -251,14 +287,14 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
             # whole vmapped batch.
             stalled = (mu_new > 0.7 * mu) & (mu_new < tol * 1e3)
             stop = converged_now | stalled | ~ok
-            return x, s, z, it + 1, stop
+            return x, s, z, rp, it + 1, stop
 
         def cond(state):
-            _, _, _, it, stop = state
+            _, _, _, _, it, stop = state
             return (it < max_iter) & (~stop)
 
-        x, s, z, iters, _ = jax.lax.while_loop(
-            cond, body, (x, s, z, jnp.array(0), jnp.array(False)))
+        x, s, z, _, iters, _ = jax.lax.while_loop(
+            cond, body, (x, s, z, rp0, jnp.array(0), jnp.array(False)))
 
     # Honest post-hoc convergence certificate (stalls don't count).
     mu_f = jnp.dot(s, z) / m
@@ -391,6 +427,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     diag_pad = jnp.arange(n, n_pad)
 
     def factor(s, z):
+        # Jacobi-scaled KKT factorization (see solve_qp.factor).
         w = z / s                                             # (m, B)
         w_g = t(w[:mg])                                       # (B, mg)
         K = P_s + jnp.matmul(jnp.swapaxes(G_c, 1, 2) * w_g[:, None, :],
@@ -398,17 +435,18 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         dbox = t(w[mg:mg + n] + w[mg + n:])                   # (B, n)
         di = jnp.arange(n)
         K = K.at[:, di, di].add(dbox)
-        reg = reg_rel * jnp.max(jnp.diagonal(K, axis1=1, axis2=2), axis=1) \
-            + jnp.asarray(1e-30, dtype)
-        K = K.at[:, di, di].add(reg[:, None])
+        dsc = jax.lax.rsqrt(jnp.maximum(
+            jnp.diagonal(K, axis1=1, axis2=2), 1e-30))        # (B, n)
+        K = K * (dsc[:, :, None] * dsc[:, None, :])
+        K = K.at[:, di, di].add(reg_rel)
         K = jnp.pad(K, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
         K = K.at[:, diag_pad, diag_pad].set(1.0)
-        return pll.cholesky_lane(K)                           # (n_pad,n_pad,B)
+        return pll.cholesky_lane(K), t(dsc)                   # dsc (n, B)
 
-    def kkt_solve(L, s, z, rd, rp, rc):
+    def kkt_solve(L, dsc, s, z, rd, rp, rc):
         w = z / s
         rhs = -(rd + ghat_tmv(w * rp - rc / s))               # (n, B)
-        dx = pll.cho_solve_lane(L, pad_rows(rhs, n_pad))[:n]
+        dx = dsc * pll.cho_solve_lane(L, pad_rows(dsc * rhs, n_pad))[:n]
         dz = w * (ghat_mv(dx) + rp) - rc / s
         ds = -(rc + s * dz) / z
         return dx, ds, dz
@@ -417,15 +455,15 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))  # (B,)
 
-    def iterate(x, s, z):
+    def iterate(x, s, z, rp):
+        # rp maintained by the exact (1 - alpha) recurrence — see solve_qp.
         rd = pmv(x) + q_s + ghat_tmv(z)
-        rp = ghat_mv(x) + s - hhat_s
         mu = jnp.sum(s * z, axis=0) / m                       # (B,)
 
-        L = factor(s, z)
+        L, dsc = factor(s, z)
 
         rc_aff = s * z
-        dx_a, ds_a, dz_a = kkt_solve(L, s, z, rd, rp, rc_aff)
+        dx_a, ds_a, dz_a = kkt_solve(L, dsc, s, z, rd, rp, rc_aff)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         mu_aff = jnp.sum((s + alpha_p * ds_a) * (z + alpha_d * dz_a),
@@ -433,7 +471,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
 
         rc = s * z + ds_a * dz_a - sigma[None, :] * mu[None, :]
-        dx, ds, dz = kkt_solve(L, s, z, rd, rp, rc)
+        dx, ds, dz = kkt_solve(L, dsc, s, z, rd, rp, rc)
         alpha = jnp.minimum(max_step(s, ds), max_step(z, dz))[None, :]
 
         x_new = x + alpha * dx
@@ -446,7 +484,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         x = jnp.where(okb, x_new, x)
         s = jnp.where(okb, s_new, s)
         z = jnp.where(okb, z_new, z)
-        return x, s, z, mu, rp, rd, ok
+        rp = jnp.where(okb, (1.0 - alpha) * rp, rp)
+        return x, s, z, rp, mu, rd, ok
 
     if fixed_iters is not None:
         # Fused path: the whole Mehrotra iteration (factor + predictor +
@@ -489,6 +528,10 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             zl = jnp.where(nrow & (zl0 > 0),
                            lane_pad(t(z_w[:, mg + n:]), n_pad, 0.0), zl)
         scal = jnp.zeros((8, B), dtype).at[0].set(jnp.finfo(dtype).max)
+        # rp carried by exact recurrence (see iterate); benign on pads
+        rpg = jnp.where(mrow, pll.gmv_lane(G_lane, xl) + sg - hg, 0.0)
+        rpu = jnp.where(nrow, xl + su - hu_, 0.0)
+        rpl = jnp.where(nrow, -xl + sl - hl, 0.0)
 
         G_c_pad = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
         P_pad = jnp.pad(P_s, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
@@ -496,7 +539,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
 
         def fori_body(_, state):
-            xl, sg, su, sl, zg, zu, zl, scal = state
+            xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
             wg_c = t2(zg[:mg] / sg[:mg])                    # (B, mg)
             # pure P + G^T W_g G on the MXU; box diagonal + regularization
             # are added inside the fused kernel (in VMEM)
@@ -506,14 +549,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             K_lane = jnp.transpose(K, (2, 1, 0))
             px = pll.gmv_lane(P_lane, xl)
             return pll.ipm_iterate_lane(
-                K_lane, G_lane, px, q_lane, pdiag, hg, hu_, hl,
-                xl, sg, su, sl, zg, zu, zl, scal,
+                K_lane, G_lane, px, q_lane, pdiag,
+                xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                 mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
-        xl, sg, su, sl, zg, zu, zl, scal = jax.lax.fori_loop(
+        xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(
             0, fixed_iters, fori_body,
-            (xl, sg, su, sl, zg, zu, zl, scal))
+            (xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal))
         x = xl[:n]
         s = jnp.concatenate([sg[:mg], su[:n], sl[:n]])
         z = jnp.concatenate([zg[:mg], zu[:n], zl[:n]])
@@ -522,14 +565,17 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         hnorm = 1.0 + jnp.linalg.norm(hhat_s, axis=0)
         qnorm = 1.0 + jnp.linalg.norm(q_s, axis=0)
 
+        rp0 = ghat_mv(x) + s - hhat_s
+
         def body(state):
-            x, s, z, it, stop = state
-            x2, s2, z2, mu, rp, rd, ok = iterate(x, s, z)
+            x, s, z, rp, it, stop = state
+            x2, s2, z2, rp2, mu, rd, ok = iterate(x, s, z, rp)
             active = ~stop
             keep = active[None, :]
             x = jnp.where(keep, x2, x)
             s = jnp.where(keep, s2, s)
             z = jnp.where(keep, z2, z)
+            rp = jnp.where(keep, rp2, rp)
             mu_new = jnp.sum(s * z, axis=0) / m
             converged_now = ((mu_new < tol)
                              & (jnp.linalg.norm(rp, axis=0) / hnorm < tol * 10)
@@ -537,14 +583,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             stalled = (mu_new > 0.7 * mu) & (mu_new < tol * 1e3)
             stop = stop | converged_now | stalled | ~ok
             it = it + active
-            return x, s, z, it, stop
+            return x, s, z, rp, it, stop
 
         def cond(state):
-            _, _, _, it, stop = state
+            _, _, _, _, it, stop = state
             return jnp.any((it < max_iter) & (~stop))
 
-        x, s, z, iters_all, _ = jax.lax.while_loop(
-            cond, body, (x, s, z, jnp.zeros((B,), jnp.int32),
+        x, s, z, _, iters_all, _ = jax.lax.while_loop(
+            cond, body, (x, s, z, rp0, jnp.zeros((B,), jnp.int32),
                          jnp.zeros((B,), bool)))
         iters = iters_all[:B0]
 

@@ -50,6 +50,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               delta_tol_rel: float = 0.0,
               u_step_tol: float = 0.0,
               merit_patience: int = 0,
+              keep_best: bool = False,
               slack_weight: float = 1e5,
               slack_ub: float = 1e8,
               constraint_tolerance: float = 2 * 2.1 * 1e-3,
@@ -120,15 +121,19 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         best_merit: jax.Array
         stall: jax.Array
         z: jax.Array
+        best: "tuple | None" = None   # (u, obj, viol, feasible) best-merit
 
     m_qp = n_con + 2 * (n + 1)
+    best0 = ((u_init, obj_init, ev0.max_violation, ev0.feasible)
+             if keep_best else None)
     init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
                  feasible=ev0.feasible, done=jnp.array(False),
                  it=jnp.array(0), qp_iters=jnp.array(0),
                  qp_fails=jnp.array(0),
                  best_merit=obj_init + slack_weight * ev0.max_violation,
                  stall=jnp.array(0),
-                 z=jnp.zeros((m_qp,), dtype))
+                 z=jnp.zeros((m_qp,), dtype),
+                 best=best0)
 
     def body(c: Carry) -> Carry:
         G_c, rhs = con.linearize(sys, c.u)
@@ -161,6 +166,13 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         else:
             stall = c.stall
         best_merit = jnp.minimum(c.best_merit, merit_new)
+        if keep_best:
+            better = merit_new < c.best_merit
+            best = tuple(
+                jnp.where(better, new_v, old_v) for new_v, old_v in zip(
+                    (u_new, obj_new, ev.max_violation, ev.feasible), c.best))
+        else:
+            best = None
         if single_veh:
             stop = small_delta  # both reference break branches fire
         else:
@@ -169,14 +181,18 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
             u=u_new, obj=obj_new, viol=ev.max_violation, feasible=ev.feasible,
             done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters,
             qp_fails=c.qp_fails + jnp.where(sol.converged, 0, 1),
-            best_merit=best_merit, stall=stall, z=sol.z)
+            best_merit=best_merit, stall=stall, z=sol.z, best=best)
 
     def cond(c: Carry):
         return (c.it < max_scp_iter) & (~c.done)
 
     out = jax.lax.while_loop(cond, body, init)
-    return SCPResult(u=out.u, feasible=out.feasible, converged=out.done,
-                     obj=out.obj, max_violation=out.viol, iters=out.it,
+    if keep_best:
+        u_f, obj_f, viol_f, feas_f = out.best
+    else:
+        u_f, obj_f, viol_f, feas_f = out.u, out.obj, out.viol, out.feasible
+    return SCPResult(u=u_f, feasible=feas_f, converged=out.done,
+                     obj=obj_f, max_violation=viol_f, iters=out.it,
                      qp_iters=out.qp_iters, qp_fails=out.qp_fails)
 
 
@@ -187,6 +203,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       delta_tol_rel: float = 0.0,
                       u_step_tol: float = 0.0,
                       merit_patience: int = 0,
+                      keep_best: bool = False,
                       slack_weight: float = 1e5,
                       slack_ub: float = 1e8,
                       constraint_tolerance: float = 2 * 2.1 * 1e-3,
@@ -245,15 +262,19 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         best_merit: jax.Array
         stall: jax.Array
         z: jax.Array
+        best: "tuple | None" = None   # (u, obj, viol, feasible) best-merit
 
     zero = jnp.zeros((b,), jnp.int32)
     m_qp = n_con + 2 * (n + 1)
+    best0 = ((u_init, obj_init, ev0.max_violation, ev0.feasible)
+             if keep_best else None)
     init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
                  feasible=ev0.feasible, done=jnp.zeros((b,), bool),
                  it=zero, qp_iters=zero, qp_fails=zero,
                  best_merit=obj_init + slack_weight * ev0.max_violation,
                  stall=zero,
-                 z=jnp.zeros((b, m_qp), dtype))
+                 z=jnp.zeros((b, m_qp), dtype),
+                 best=best0)
 
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)
@@ -283,14 +304,23 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         else:
             stall = c.stall
         best_merit = jnp.minimum(c.best_merit, merit_new)
+        sel = active
+        selc = sel[:, None]
+        if keep_best:
+            better = sel & (merit_new < c.best_merit)
+            cand = (u_new, obj_new, ev.max_violation, ev.feasible)
+            best = tuple(
+                jnp.where(better[:, None] if new_v.ndim == 2 else better,
+                          new_v, old_v)
+                for new_v, old_v in zip(cand, c.best))
+        else:
+            best = None
         if single_veh:
             stop = small_delta
         else:
             stop = small_delta & (ev.max_violation <= constraint_tolerance)
 
         # freeze inactive lanes (matches vmapped while_loop select semantics)
-        sel = active
-        selc = sel[:, None]
         return Carry(
             u=jnp.where(selc, u_new, c.u),
             obj=jnp.where(sel, obj_new, c.obj),
@@ -302,14 +332,19 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
             qp_fails=c.qp_fails + jnp.where(sel & ~sol.converged, 1, 0),
             best_merit=jnp.where(sel, best_merit, c.best_merit),
             stall=jnp.where(sel, stall, c.stall),
-            z=jnp.where(selc, sol.z, c.z))
+            z=jnp.where(selc, sol.z, c.z),
+            best=best)
 
     def cond(c: Carry):
         return jnp.any((c.it < max_scp_iter) & (~c.done))
 
     out = jax.lax.while_loop(cond, body, init)
-    return SCPResult(u=out.u, feasible=out.feasible, converged=out.done,
-                     obj=out.obj, max_violation=out.viol, iters=out.it,
+    if keep_best:
+        u_f, obj_f, viol_f, feas_f = out.best
+    else:
+        u_f, obj_f, viol_f, feas_f = out.u, out.obj, out.viol, out.feasible
+    return SCPResult(u=u_f, feasible=feas_f, converged=out.done,
+                     obj=obj_f, max_violation=viol_f, iters=out.it,
                      qp_iters=out.qp_iters, qp_fails=out.qp_fails)
 
 
