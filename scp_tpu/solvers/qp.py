@@ -212,6 +212,12 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         by the per-iteration solve error (~1e-6), which the final
         certificate (recomputed honestly) still checks."""
         rd = P_s @ x + q_s + ghat_tmv(z)
+        if dtype == jnp.float64:
+            # f64 recomputes rp: its round-off (~1e-16) is harmless and a
+            # fresh residual lets the endgame drive rd to ~1e-12, which the
+            # golden-oracle tolerances rely on. The recurrence is the f32
+            # remedy for w-amplified recomputation noise.
+            rp = ghat_mv(x) + s - hhat_s
         mu = jnp.dot(s, z) / m
 
         L, dsc = factor(s, z)
@@ -458,6 +464,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     def iterate(x, s, z, rp):
         # rp maintained by the exact (1 - alpha) recurrence — see solve_qp.
         rd = pmv(x) + q_s + ghat_tmv(z)
+        if dtype == jnp.float64:
+            rp = ghat_mv(x) + s - hhat_s   # see solve_qp.iterate
         mu = jnp.sum(s * z, axis=0) / m                       # (B,)
 
         L, dsc = factor(s, z)

@@ -143,19 +143,30 @@ class Problem:
             jnp.array(lb), jnp.array(ub), max_iter=60, tol=1e-10)
         if not bool(sol.converged):
             # Stall exits near convergence are acceptable for the oracle ONLY
-            # if the solution actually satisfies the QP: bound the gap AND
-            # the primal/dual residuals explicitly (gap alone can look fine
-            # while x violates constraints).
+            # if the PRIMAL solution actually solves the QP. On degenerate
+            # active sets the IPM's carried duals can be poorly recovered
+            # (rd large) while x is optimal to ~1e-7, so certify x directly:
+            # identify the active set, solve the equality-constrained KKT
+            # system exactly, and require agreement plus nonnegative
+            # least-squares multipliers (the textbook optimality check).
             x = np.asarray(sol.x)
-            z = np.asarray(sol.z)
             ghat = np.vstack([G, np.eye(n), -np.eye(n)])
             hhat = np.concatenate([h, ub, -lb])
             rp = np.maximum(ghat @ x - hhat, 0.0).max()
-            rd = np.linalg.norm(P @ x + q + ghat.T @ z) / (
-                1.0 + np.linalg.norm(q))
-            assert float(sol.gap) < 1e-6 and rp < 1e-7 and rd < 1e-7, (
+            act = np.where(hhat - ghat @ x < 1e-7)[0]
+            A = ghat[act]
+            K = np.block([[P, A.T],
+                          [A, np.zeros((len(act), len(act)))]])
+            rhs = np.concatenate([-q, hhat[act]])
+            kkt, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+            x_eq, lam = kkt[:n], kkt[n:]
+            x_scale = 1.0 + np.abs(x_eq).max()
+            x_err = np.abs(x - x_eq).max() / x_scale
+            assert (float(sol.gap) < 1e-6 and rp < 1e-7
+                    and x_err < 1e-5 and (lam > -1e-6).all()), (
                 f"shim QP did not converge (gap {float(sol.gap):.2e}, "
-                f"rp {rp:.2e}, rd {rd:.2e})")
+                f"rp {rp:.2e}, x_err {x_err:.2e}, "
+                f"min_mult {lam.min() if len(lam) else 0.0:.2e})")
         var.value = np.array(sol.x, copy=True).reshape(var.shape)
         self.value = float(sol.obj)
         return self.value
