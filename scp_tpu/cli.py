@@ -33,7 +33,7 @@ def _build(args, dtype):
     from scp_tpu.scenarios import builders
 
     kw = {}
-    if args.scenario != "frog":
+    if args.scenario != "frog" and args.n_veh:
         kw["n_veh"] = args.n_veh
     cfg, data = builders.BUILDERS[args.scenario](dtype=dtype, **kw)
     overrides = {}
@@ -122,7 +122,9 @@ def main(argv=None):
     pr = sub.add_parser("run", help="closed-loop simulation")
     pr.add_argument("--scenario", choices=["circle", "frog", "parallel"],
                     default="circle")
-    pr.add_argument("--n-veh", type=int, default=8)
+    pr.add_argument("--n-veh", type=int, default=0,
+                    help="vehicle count (0 = scenario default: circle 8, "
+                         "parallel 11)")
     pr.add_argument("--steps", type=int, default=0)
     pr.add_argument("--hp", type=int, default=0)
     pr.add_argument("--mc", type=int, default=1,
