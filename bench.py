@@ -49,10 +49,10 @@ def worker():
     cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
                       merit_patience=2, qp_tol=1e-6, qp_fixed_iters=10)
 
-    # Phase schedule from the warm-step done-by-k histogram (~60% by 5,
-    # ~90% by 8, ~98% by 12): 5 + 3/2 + 12/8 = 8 effective full-batch
+    # Phase schedule from the warm-step done-by-k histogram (~50% by 4,
+    # ~75% by 6, ~92% by 8): 4 + 2/2 + 14/8 = 6.75 effective full-batch
     # iterations vs 11 for the legacy two-phase split.
-    PHASES = ((5, 1), (3, 2), (12, 8))
+    PHASES = ((4, 1), (2, 2), (14, 8))
 
     def step(d, carry):
         new_carry, out = engine.mpc_step_batch(cfg, d, carry, phases=PHASES)
