@@ -47,7 +47,7 @@ def worker():
         "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
         n_veh=N_VEH)
     cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                      merit_patience=2, qp_tol=1e-6, qp_fixed_iters=10)
+                      merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
 
     # Phase schedule from the warm-step done-by-k histogram (~50% by 4,
     # ~75% by 6, ~92% by 8): 4 + 2/2 + 14/8 = 6.75 effective full-batch
@@ -93,7 +93,7 @@ def worker():
 
     cfg1, data1 = builders.circle(N_VEH, dtype=jnp.float32)
     cfg1 = cfg1.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                        merit_patience=2, qp_tol=1e-6, qp_fixed_iters=10)
+                        merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
     LSTEPS = 10
 
     @jax.jit
