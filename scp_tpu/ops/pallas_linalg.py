@@ -236,75 +236,6 @@ def _gtmv_kernel(g_ref, v_ref, out_ref):
     out_ref[...] = jnp.sum(g_ref[...] * v_ref[...][:, None, :], axis=0)
 
 
-_MV_MB = 32   # row-block for the forward matvec
-_MV_NB = 8    # column-block for the transposed matvec
-
-
-def _to_lane3(G: jax.Array):
-    """(B, m, n) -> (m_pad, n_pad, b_pad) lane layout, shared by both matvec
-    directions so XLA CSEs the transpose (and hoists it out of the IPM loop
-    — G is loop-invariant)."""
-    B, m, n = G.shape
-    m_pad, n_pad, b_pad = _pad_to(m, _MV_MB), _pad_to(n, _MV_NB), _pad_to(B, TB)
-    Gt = jnp.transpose(G, (1, 2, 0))
-    if (m_pad, n_pad, b_pad) != (m, n, B):
-        Gt = jnp.pad(Gt, ((0, m_pad - m), (0, n_pad - n), (0, b_pad - B)))
-    return Gt, m_pad, n_pad, b_pad
-
-
-def _batched_gmv_impl(G: jax.Array, x: jax.Array) -> jax.Array:
-    """G: (B, m, n), x: (B, n) -> (B, m).
-
-    vmap of a per-instance matvec puts the batch on the MAJOR axis, forcing
-    the contraction onto the lane axis — measured 4-5x off HBM
-    speed-of-light. These kernels lay the batch on lanes so the reduction is
-    a full-width VPU op and the cost is one streaming read of G."""
-    B, m, n = G.shape
-    Gt, m_pad, n_pad, b_pad = _to_lane3(G)
-    xt = jnp.transpose(x, (1, 0))
-    if (n_pad, b_pad) != (n, B):
-        xt = jnp.pad(xt, ((0, n_pad - n), (0, b_pad - B)))
-    out = pl.pallas_call(
-        _gmv_kernel,
-        interpret=INTERPRET,
-        grid=(b_pad // TB, m_pad // _MV_MB),
-        in_specs=[
-            pl.BlockSpec((_MV_MB, n_pad, TB), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, TB), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_MV_MB, TB), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, b_pad), G.dtype),
-    )(Gt, xt)
-    return jnp.transpose(out, (1, 0))[:B, :m]
-
-
-def _batched_gtmv_impl(G: jax.Array, v: jax.Array) -> jax.Array:
-    """G: (B, m, n), v: (B, m) -> (B, n) = (G^T v) per instance."""
-    B, m, n = G.shape
-    Gt, m_pad, n_pad, b_pad = _to_lane3(G)
-    vt = jnp.transpose(v, (1, 0))
-    if (m_pad, b_pad) != (m, B):
-        vt = jnp.pad(vt, ((0, m_pad - m), (0, b_pad - B)))
-    out = pl.pallas_call(
-        _gtmv_kernel,
-        interpret=INTERPRET,
-        grid=(b_pad // TB, n_pad // _MV_NB),
-        in_specs=[
-            pl.BlockSpec((m_pad, _MV_NB, TB), lambda i, j: (0, j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, TB), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_MV_NB, TB), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, b_pad), G.dtype),
-    )(Gt, vt)
-    return jnp.transpose(out, (1, 0))[:B, :n]
-
-
 # ---------------------------------------------------------------------------
 # direct lane-layout APIs — for the natively-batched TPU solver
 # (scp_tpu/solvers/qp.py::solve_qp_batched), which controls layout itself:
@@ -504,46 +435,6 @@ def _cholesky_vmap(axis_size, in_batched, K):
     Kf = K.reshape((-1, n, n))
     L = _batched_cholesky_impl(Kf)
     return L.reshape(lead + (n, n)), True
-
-
-@jax.custom_batching.custom_vmap
-def matvec(G: jax.Array, x: jax.Array) -> jax.Array:
-    """G @ x for one instance (lane-layout kernel engages under vmap)."""
-    return G @ x
-
-
-@matvec.def_vmap
-def _matvec_vmap(axis_size, in_batched, G, x):
-    del axis_size
-    g_batched, x_batched = in_batched
-    m, n = G.shape[-2:]
-    if not g_batched:
-        G = jnp.broadcast_to(G, x.shape[:-1] + (m, n))
-    if not x_batched:
-        x = jnp.broadcast_to(x, G.shape[:-2] + (n,))
-    lead = x.shape[:-1]
-    out = _batched_gmv_impl(G.reshape((-1, m, n)), x.reshape((-1, n)))
-    return out.reshape(lead + (m,)), True
-
-
-@jax.custom_batching.custom_vmap
-def matvec_t(G: jax.Array, v: jax.Array) -> jax.Array:
-    """G^T @ v for one instance (lane-layout kernel engages under vmap)."""
-    return G.T @ v
-
-
-@matvec_t.def_vmap
-def _matvec_t_vmap(axis_size, in_batched, G, v):
-    del axis_size
-    g_batched, v_batched = in_batched
-    m, n = G.shape[-2:]
-    if not g_batched:
-        G = jnp.broadcast_to(G, v.shape[:-1] + (m, n))
-    if not v_batched:
-        v = jnp.broadcast_to(v, G.shape[:-2] + (m,))
-    lead = v.shape[:-1]
-    out = _batched_gtmv_impl(G.reshape((-1, m, n)), v.reshape((-1, m)))
-    return out.reshape(lead + (n,)), True
 
 
 @jax.custom_batching.custom_vmap

@@ -310,7 +310,10 @@ def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     ``solve_scp_batch``), but typically ~1.5x faster: converged instances
     stop paying for the few that run to the SCP iteration cap.
     """
-    assert cfg.controller == "scp", "batch path currently implements SCP"
+    if cfg.controller != "scp":
+        # straggler repacking targets the SCP iteration spread; other
+        # controllers (fixed-round side selection) batch plainly
+        return jax.vmap(lambda d, c: mpc_step(cfg, d, c))(data, carry)
     keys = jax.vmap(jax.random.split)(carry.key)   # (B, 2, key)
     key, key_noise = keys[:, 0], keys[:, 1]
 
