@@ -7,10 +7,11 @@ MXU matmul that *builds* those matrices. These kernels lay the **batch** on
 the 128-wide lane axis (classic batched-small-LA layout) so every step of
 the factorization is a full-width VPU op in exact f32:
 
-* ``cholesky``: right-looking factorization, one masked rank-1 update per
-  column — ``n`` steps of (n, n, TB) elementwise work per TB=128-instance
-  tile, all in VMEM.
-* ``cho_solve``: forward + backward column sweeps against the factor.
+* ``cholesky``: statically-unrolled panelized right-looking factorization,
+  trailing updates restricted to the lower block-triangle, all in VMEM.
+  NB: above-diagonal entries of the result are garbage (see
+  ``_factor_in_place``) — the solve kernels only read the lower triangle.
+* ``cho_solve``: forward + backward panel substitution against the factor.
 
 Both are exposed through ``jax.custom_batching.custom_vmap`` so per-instance
 solver code (``scp_tpu/solvers/qp.py``) stays unbatched and the kernels
@@ -52,102 +53,72 @@ def pad_dim(n: int) -> int:
 # kernels (layout: column-major-with-batch — a[c, r, b] = M_b[r, c])
 # ---------------------------------------------------------------------------
 
-def _cholesky_kernel(k_ref, out_ref):
-    n = k_ref.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)      # row index
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, TB), 0)   # col (major)
-    row3_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, TB), 1)
-
-    out_ref[...] = k_ref[...]
-
-    def step(j, _):
-        col = out_ref[pl.ds(j, 1), :, :].reshape(n, TB)            # column j
-        d = jnp.sum(jnp.where(row_ids == j, col, 0.0), axis=0)     # diag (TB,)
-        inv = jax.lax.rsqrt(d)
-        lcol = jnp.where(row_ids >= j, col * inv[None, :], 0.0)
-        out_ref[pl.ds(j, 1), :, :] = lcol.reshape(1, n, TB)
-        # trailing update: A[c, r] -= lcol[c] * lcol[r] for c > j, r > j
-        mask = (col_ids > j) & (row3_ids > j)
-        outer = lcol[:, None, :] * lcol[None, :, :]
-        out_ref[...] = out_ref[...] - jnp.where(mask, outer, 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, n, step, 0)
-
-
 _CHUNK = 16  # trailing-update column-chunk width (majors per pass)
 
 
-def _cholesky_panel_kernel(hbm_ref, hbm_out_ref, out_ref, panel_ref,
-                           sem_in, sem_out):
-    """Right-looking Cholesky with 8-column panels.
+def _factor_in_place(out_ref, n):
+    """Panelized right-looking Cholesky on a resident (n, n, TB) VMEM block
+    in kernel layout (out_ref[c, r, b] = K_b[r, c]), fully statically
+    unrolled (``n`` is a Python int).
 
-    The naive kernel sweeps the full (n, n, TB) block once per column
-    (n passes). Here each 8-column panel is factored with slab-local
-    updates, then the trailing submatrix gets ONE pass per panel, processed
-    in column chunks with an 8-MAC fused accumulation — ~7x less VMEM
-    traffic. Finished columns (before the panel) are skipped entirely.
+    Only the LOWER triangle of the result is meaningful: above-diagonal
+    entries hold stale/garbage values. Every consumer (the substitution
+    kernels below) reads strictly lower-triangular entries, and skipping the
+    upper triangle lets every slice start/size be static — Mosaic emits
+    plain vector ops with no iota/select masks and no dynamic slicing — and
+    restricts the trailing update to lower block-triangle slabs (~2x fewer
+    MACs than full-width masked sweeps).
+    """
+    for base in range(0, n, _SUBLANE):
+        rows = n - base                                  # rows [base, n)
+        # factor the 8 panel columns; updates stay inside the panel slab
+        for jj in range(_SUBLANE):  # static unroll
+            j = base + jj
+            col = out_ref[pl.ds(j, 1), pl.ds(base, rows), :].reshape(rows, TB)
+            lcol = col * jax.lax.rsqrt(col[jj])[None, :]
+            out_ref[pl.ds(j, 1), pl.ds(base, rows), :] = \
+                lcol.reshape(1, rows, TB)
+            if jj < _SUBLANE - 1:
+                w = _SUBLANE - 1 - jj
+                slab = out_ref[pl.ds(j + 1, w), pl.ds(base, rows), :]
+                coef = lcol[jj + 1:_SUBLANE]             # (w, TB)
+                out_ref[pl.ds(j + 1, w), pl.ds(base, rows), :] = (
+                    slab - coef[:, None, :] * lcol[None, :, :])
+        first = base + _SUBLANE
+        if first >= n:
+            break
+        # trailing update, lower block-triangle only: for each 16-column
+        # chunk [cs, cs+w), touch rows [cs, n) — the skipped rows are the
+        # (unused) upper triangle. One fused 8-MAC pass per chunk.
+        panel = out_ref[pl.ds(base, _SUBLANE), pl.ds(first, n - first), :]
+        for cs in range(first, n, _CHUNK):
+            w = min(_CHUNK, n - cs)
+            rl = n - cs                                  # rows [cs, n)
+            o = cs - first
+            block = out_ref[pl.ds(cs, w), pl.ds(cs, rl), :]
+            acc = panel[0, o:o + w, :][:, None, :] * panel[0, o:, :][None]
+            for jj in range(1, _SUBLANE):
+                acc = acc + (panel[jj, o:o + w, :][:, None, :]
+                             * panel[jj, o:, :][None])
+            out_ref[pl.ds(cs, w), pl.ds(cs, rl), :] = block - acc
+
+
+def _cholesky_panel_kernel(hbm_ref, hbm_out_ref, out_ref, sem_in, sem_out):
+    """Batched Cholesky: manual DMA of one 128-instance tile + in-place
+    panel factorization (``_factor_in_place``).
 
     The batch tile is DMA'd manually from HBM into a single VMEM scratch
     (``out_ref``): Pallas' automatic block pipelining double-buffers both
     input and output blocks, which overflows the 16 MB VMEM at
     (96, 96, 128) f32 tiles.
     """
-    n = out_ref.shape[0]
     i = pl.program_id(0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    n_panels = n // _SUBLANE
-    n_chunks = n // _CHUNK
-
     dma_in = pltpu.make_async_copy(
         hbm_ref.at[:, :, pl.ds(i * TB, TB)], out_ref, sem_in)
     dma_in.start()
     dma_in.wait()
 
-    def panel(p, _):
-        base = p * _SUBLANE
-        # factor the 8 panel columns; updates stay inside the panel slab
-        for jj in range(_SUBLANE):  # static unroll
-            j = base + jj
-            col = out_ref[pl.ds(j, 1), :, :].reshape(n, TB)
-            d = jnp.sum(jnp.where(row_ids == j, col, 0.0), axis=0)
-            lcol = jnp.where(row_ids >= j, col * jax.lax.rsqrt(d)[None, :],
-                             0.0)
-            out_ref[pl.ds(j, 1), :, :] = lcol.reshape(1, n, TB)
-            if jj < _SUBLANE - 1:
-                w = _SUBLANE - 1 - jj
-                slab = out_ref[pl.ds(j + 1, w), :, :]           # (w, n, TB)
-                # rows j+1..j+w of column j, read back from the ref
-                # (dynamic_slice on values is not lowerable in Mosaic)
-                coef = out_ref[pl.ds(j, 1), pl.ds(j + 1, w), :].reshape(w, TB)
-                out_ref[pl.ds(j + 1, w), :, :] = (
-                    slab - coef[:, None, :] * lcol[None, :, :])
-        # snapshot the factored panel for value-slicing in the chunk loop
-        panel_ref[...] = out_ref[pl.ds(base, _SUBLANE), :, :]
-        first = base + _SUBLANE
-
-        def chunk(ci, _):
-            start = ci * _CHUNK
-            block = out_ref[pl.ds(start, _CHUNK), :, :]         # (CH, n, TB)
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (_CHUNK, n, TB), 0) + start
-            rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n, TB), 1)
-            acc = jnp.zeros((_CHUNK, n, TB), block.dtype)
-            for jj in range(_SUBLANE):  # 8-MAC fused accumulation
-                lcol = panel_ref[pl.ds(jj, 1), :, :].reshape(n, TB)
-                coef = panel_ref[pl.ds(jj, 1), pl.ds(start, _CHUNK), :] \
-                    .reshape(_CHUNK, TB)
-                acc = acc + coef[:, None, :] * lcol[None, :, :]
-            mask = (cols >= first) & (rows >= first)
-            out_ref[pl.ds(start, _CHUNK), :, :] = (
-                block - jnp.where(mask, acc, 0.0))
-            return 0
-
-        # chunks strictly before the trailing region are untouched
-        jax.lax.fori_loop(first // _CHUNK, n_chunks, chunk, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_panels, panel, 0)
+    _factor_in_place(out_ref, out_ref.shape[0])
 
     dma_out = pltpu.make_async_copy(
         out_ref, hbm_out_ref.at[:, :, pl.ds(i * TB, TB)], sem_out)
@@ -155,75 +126,70 @@ def _cholesky_panel_kernel(hbm_ref, hbm_out_ref, out_ref, panel_ref,
     dma_out.wait()
 
 
-def _cho_solve_kernel(l_ref, b_ref, out_ref, y_ref):
-    """Solve (L L^T) x = b, panel-blocked substitution.
+def _fwd_bwd_solve(l_ref, b, y_ref, n):
+    """Solve (L L^T) x = b against the kernel-layout factor in ``l_ref``
+    (l_ref[c, r, b] = L_b[r, c], garbage above the diagonal), fully
+    statically unrolled. ``b`` is an (n, TB) value; ``y_ref`` is an (n, TB)
+    scratch; returns the (n, TB) solution value.
 
-    l_ref: (n, n, TB) column-major factor (l_ref[c, r, b] = L_b[r, c]),
-    b_ref/out_ref: (n, TB), y_ref: (n, TB) scratch. Per 8-row panel: a tiny
-    unrolled in-panel solve, then ONE fused 8-MAC elimination of the panel's
-    contribution from the remaining rows — n/8 passes instead of n.
+    Per 8-row panel: a tiny unrolled in-panel substitution whose
+    coefficients are STATIC indices into a value slab (the dynamic-index
+    (1, 1, TB) ref gathers this replaces were the dominant cost of the old
+    kernel), then ONE fused 8-MAC elimination of the panel's contribution
+    from exactly the remaining rows — static slices, no masks.
     """
-    n = l_ref.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    n_panels = n // _SUBLANE
-
-    def elem(c, r):
-        """L[r, c] as a (TB,) lane vector (ref gather, dynamic indices)."""
-        return l_ref[pl.ds(c, 1), pl.ds(r, 1), :].reshape(TB)
-
     # ---- forward: L y = b ----
-    y_ref[...] = b_ref[...]
+    y_ref[...] = b
 
-    def fwd_panel(p, _):
-        base = p * _SUBLANE
-        cols = l_ref[pl.ds(base, _SUBLANE), :, :]        # (8, n, TB)
+    for base in range(0, n, _SUBLANE):  # static unroll
+        rows = n - base
+        # cols[k, r, :] = L[base+r, base+k] for rows r >= 0 (offset base)
+        cols = l_ref[pl.ds(base, _SUBLANE), pl.ds(base, rows), :]
         b_pan = y_ref[pl.ds(base, _SUBLANE), :]          # (8, TB)
         ys = []
         for jj in range(_SUBLANE):
             acc = b_pan[jj]
             for k in range(jj):
-                acc = acc - elem(base + k, base + jj) * ys[k]
-            ys.append(acc / elem(base + jj, base + jj))
-        # one fused elimination from all remaining rows
-        upd = cols[0] * ys[0][None, :]
-        for jj in range(1, _SUBLANE):
-            upd = upd + cols[jj] * ys[jj][None, :]
-        finished = jnp.stack(ys)                         # (8, TB)
-        rest = jnp.where(row_ids > base + _SUBLANE - 1,
-                         y_ref[...] - upd, y_ref[...])
-        y_ref[...] = rest
-        y_ref[pl.ds(base, _SUBLANE), :] = finished
-        return 0
+                acc = acc - cols[k, jj] * ys[k]
+            ys.append(acc / cols[jj, jj])
+        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(ys)
+        if base + _SUBLANE < n:
+            # one fused elimination from all remaining rows
+            upd = cols[0, _SUBLANE:, :] * ys[0][None, :]
+            for jj in range(1, _SUBLANE):
+                upd = upd + cols[jj, _SUBLANE:, :] * ys[jj][None, :]
+            tail = rows - _SUBLANE
+            y_ref[pl.ds(base + _SUBLANE, tail), :] = (
+                y_ref[pl.ds(base + _SUBLANE, tail), :] - upd)
 
-    jax.lax.fori_loop(0, n_panels, fwd_panel, 0)
-
-    # ---- backward: L^T x = y ----
-    out_ref[...] = y_ref[...]
-
-    def bwd_panel(pi, _):
-        p = n_panels - 1 - pi
-        base = p * _SUBLANE
-        b_pan = out_ref[pl.ds(base, _SUBLANE), :]        # (8, TB)
+    # ---- backward: L^T x = y (in place in y_ref) ----
+    for base in range(n - _SUBLANE, -1, -_SUBLANE):  # static unroll
+        # dslab[c, r, :] = L[base+r, base+c] — the diagonal 8x8 block
+        dslab = l_ref[pl.ds(base, _SUBLANE), pl.ds(base, _SUBLANE), :]
+        b_pan = y_ref[pl.ds(base, _SUBLANE), :]
         xs = [None] * _SUBLANE
         for jj in reversed(range(_SUBLANE)):
             acc = b_pan[jj]
             for k in range(jj + 1, _SUBLANE):
-                # L^T[j, k-th row] -> L[base+k, base+jj]
-                acc = acc - elem(base + jj, base + k) * xs[k]
-            xs[jj] = acc / elem(base + jj, base + jj)
-        # eliminate the panel's contribution from rows above:
-        # y[c] -= sum_jj L[base+jj, c] * x_jj, where L[base+jj, :] is the
-        # sublane slice l_ref[:, base+jj, :].
-        upd = l_ref[:, pl.ds(base, 1), :].reshape(n, TB) * xs[0][None, :]
-        for jj in range(1, _SUBLANE):
-            row = l_ref[:, pl.ds(base + jj, 1), :].reshape(n, TB)
-            upd = upd + row * xs[jj][None, :]
-        rest = jnp.where(row_ids < base, out_ref[...] - upd, out_ref[...])
-        out_ref[...] = rest
-        out_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(xs)
-        return 0
+                acc = acc - dslab[jj, k] * xs[k]         # L[base+k, base+jj]
+            xs[jj] = acc / dslab[jj, jj]
+        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(xs)
+        if base > 0:
+            # eliminate the panel from the rows above:
+            # y[c] -= sum_jj L[base+jj, c] * x_jj for c < base, where
+            # rows8[c, jj, :] = L[base+jj, c] (strictly lower: c < base).
+            rows8 = l_ref[pl.ds(0, base), pl.ds(base, _SUBLANE), :]
+            upd = rows8[:, 0, :] * xs[0][None, :]
+            for jj in range(1, _SUBLANE):
+                upd = upd + rows8[:, jj, :] * xs[jj][None, :]
+            y_ref[pl.ds(0, base), :] = y_ref[pl.ds(0, base), :] - upd
 
-    jax.lax.fori_loop(0, n_panels, bwd_panel, 0)
+    return y_ref[...]
+
+
+def _cho_solve_kernel(l_ref, b_ref, out_ref, y_ref):
+    """Solve (L L^T) x = b (see ``_fwd_bwd_solve``)."""
+    out_ref[...] = _fwd_bwd_solve(l_ref, b_ref[...], y_ref, l_ref.shape[0])
 
 
 def _gmv_kernel(g_ref, x_ref, out_ref):
@@ -274,7 +240,6 @@ def cholesky_lane(K: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((n, n, B), K.dtype),
         scratch_shapes=[
             pltpu.VMEM((n, n, TB), K.dtype),
-            pltpu.VMEM((_SUBLANE, n, TB), K.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -368,13 +333,13 @@ def _batched_cholesky_impl(K: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), K.dtype),
         scratch_shapes=[
             pltpu.VMEM((n_pad, n_pad, TB), K.dtype),       # working tile
-            pltpu.VMEM((_SUBLANE, n_pad, TB), K.dtype),    # panel snapshot
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(Kt)
-    # The kernel zeroes every column's above-diagonal entries when it factors
-    # that column, so the result is already lower-triangular — no tril needed.
+    # NB: above-diagonal entries are garbage (``_factor_in_place``); the only
+    # consumers (the cho_solve kernels) read strictly lower-triangular
+    # entries, so no tril cleanup is spent here.
     L = jnp.transpose(out, (2, 1, 0))
     if n == n_pad and B == b_pad:
         return L
@@ -476,110 +441,6 @@ def _cho_solve_vmap(axis_size, in_batched, L, b):
 # section-aligned padding: (MG_PAD + 2*N_PAD, TB). Padding lanes are kept
 # benign via masks in every reduction.
 
-def _fwd_bwd_solve(l_ref, b, y_ref, n):
-    """Solve (L L^T) x = b for b a (n, TB) VALUE against the in-place factor
-    in ``l_ref`` (kernel layout). Same panel algorithm as _cho_solve_kernel
-    but value-based rhs."""
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    n_panels = n // _SUBLANE
-
-    def elem(c, r):
-        return l_ref[pl.ds(c, 1), pl.ds(r, 1), :].reshape(TB)
-
-    y_ref[...] = b
-
-    def fwd_panel(p, _):
-        base = p * _SUBLANE
-        cols = l_ref[pl.ds(base, _SUBLANE), :, :]
-        b_pan = y_ref[pl.ds(base, _SUBLANE), :]
-        ys = []
-        for jj in range(_SUBLANE):
-            acc = b_pan[jj]
-            for k in range(jj):
-                acc = acc - elem(base + k, base + jj) * ys[k]
-            ys.append(acc / elem(base + jj, base + jj))
-        upd = cols[0] * ys[0][None, :]
-        for jj in range(1, _SUBLANE):
-            upd = upd + cols[jj] * ys[jj][None, :]
-        rest = jnp.where(row_ids > base + _SUBLANE - 1,
-                         y_ref[...] - upd, y_ref[...])
-        y_ref[...] = rest
-        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(ys)
-        return 0
-
-    jax.lax.fori_loop(0, n_panels, fwd_panel, 0)
-
-    def bwd_panel(pi, _):
-        p = n_panels - 1 - pi
-        base = p * _SUBLANE
-        b_pan = y_ref[pl.ds(base, _SUBLANE), :]
-        xs = [None] * _SUBLANE
-        for jj in reversed(range(_SUBLANE)):
-            acc = b_pan[jj]
-            for k in range(jj + 1, _SUBLANE):
-                acc = acc - elem(base + jj, base + k) * xs[k]
-            xs[jj] = acc / elem(base + jj, base + jj)
-        upd = l_ref[:, pl.ds(base, 1), :].reshape(n, TB) * xs[0][None, :]
-        for jj in range(1, _SUBLANE):
-            row = l_ref[:, pl.ds(base + jj, 1), :].reshape(n, TB)
-            upd = upd + row * xs[jj][None, :]
-        rest = jnp.where(row_ids < base, y_ref[...] - upd, y_ref[...])
-        y_ref[...] = rest
-        y_ref[pl.ds(base, _SUBLANE), :] = jnp.stack(xs)
-        return 0
-
-    jax.lax.fori_loop(0, n_panels, bwd_panel, 0)
-    return y_ref[...]
-
-
-def _factor_in_place(out_ref, panel_ref, n):
-    """Panelized right-looking Cholesky on a resident (n, n, TB) VMEM block
-    (body of _cholesky_panel_kernel without the DMA wrapper)."""
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    n_panels = n // _SUBLANE
-    n_chunks = n // _CHUNK
-
-    def panel(p, _):
-        base = p * _SUBLANE
-        for jj in range(_SUBLANE):
-            j = base + jj
-            col = out_ref[pl.ds(j, 1), :, :].reshape(n, TB)
-            d = jnp.sum(jnp.where(row_ids == j, col, 0.0), axis=0)
-            lcol = jnp.where(row_ids >= j, col * jax.lax.rsqrt(d)[None, :],
-                             0.0)
-            out_ref[pl.ds(j, 1), :, :] = lcol.reshape(1, n, TB)
-            if jj < _SUBLANE - 1:
-                w = _SUBLANE - 1 - jj
-                slab = out_ref[pl.ds(j + 1, w), :, :]
-                coef = out_ref[pl.ds(j, 1), pl.ds(j + 1, w), :].reshape(w, TB)
-                out_ref[pl.ds(j + 1, w), :, :] = (
-                    slab - coef[:, None, :] * lcol[None, :, :])
-        panel_ref[...] = out_ref[pl.ds(base, _SUBLANE), :, :]
-        first = base + _SUBLANE
-
-        def chunk(ci, _):
-            start = ci * _CHUNK
-            block = out_ref[pl.ds(start, _CHUNK), :, :]
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (_CHUNK, n, TB), 0) + start
-            rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n, TB), 1)
-            acc = jnp.zeros((_CHUNK, n, TB), block.dtype)
-            for jj in range(_SUBLANE):
-                lcol = panel_ref[pl.ds(jj, 1), :, :].reshape(n, TB)
-                coef = panel_ref[pl.ds(jj, 1), pl.ds(start, _CHUNK), :] \
-                    .reshape(_CHUNK, TB)
-                acc = acc + coef[:, None, :] * lcol[None, :, :]
-            mask = (cols >= first) & (rows >= first)
-            out_ref[pl.ds(start, _CHUNK), :, :] = (
-                block - jnp.where(mask, acc, 0.0))
-            return 0
-
-        jax.lax.fori_loop(first // _CHUNK, n_chunks, chunk, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_panels, panel, 0)
-
-
 def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                          reg_rel: float = 3e-6):
     """Build the fused-iteration kernel for static sizes.
@@ -598,7 +459,7 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
                rpgo_ref, rpuo_ref, rplo_ref,
                scalo_ref,
-               kv_ref, gv_ref, panel_ref, y_ref, sem_k, sem_g):
+               kv_ref, gv_ref, y_ref, sem_k, sem_g):
         i = pl.program_id(0)
         dma_k = pltpu.make_async_copy(
             k_hbm.at[:, :, pl.ds(i * TB, TB)], kv_ref, sem_k)
@@ -684,7 +545,7 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 * dsc_blk * dsc[None, :, :]
             kv_ref[pl.ds(c * _CHUNK, _CHUNK), :, :] = (
                 scaled + jnp.where(diag_mask, reg_rel, 0.0))
-        _factor_in_place(kv_ref, panel_ref, n_pad)
+        _factor_in_place(kv_ref, n_pad)
 
         # rd + box parts of Ghat^T, shared by both solves:
         # rhs = -(px + q + G^T(zg + tg) + (zu + tu) - (zl + tl))
@@ -833,7 +694,6 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
         scratch_shapes=[
             pltpu.VMEM((n_pad, n_pad, TB), f32),     # K / factor
             pltpu.VMEM((mg_pad, n_pad, TB), f32),    # G tile
-            pltpu.VMEM((_SUBLANE, n_pad, TB), f32),  # factor panel
             pltpu.VMEM((n_pad, TB), f32),            # solve scratch
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

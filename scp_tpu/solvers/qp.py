@@ -320,7 +320,8 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      tol: float = 1e-8, x0=None, z0=None,
                      fixed_iters: int | None = None,
-                     use_pallas: bool | None = None) -> QPSolution:
+                     use_pallas: bool | None = None,
+                     p_blocks=None) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -332,6 +333,13 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     (``gmv_lane``/``gtmv_lane``). vmapping :func:`solve_qp` instead leaves
     3 full-tensor layout transposes per IPM iteration plus 4-5x-off-SOL
     batched matvecs — measured ~1.5x slower end-to-end.
+
+    ``p_blocks``: optional (B, nb, d, d) block-diagonal statement about P —
+    ``P[b] == blockdiag(p_blocks[b, 0], .., p_blocks[b, nb-1], T)`` with the
+    trailing (n - nb*d)-sized remainder ``T`` diagonal (read from P itself).
+    The SCP cost is block-diagonal per vehicle plus a zero slack row, so the
+    per-iteration dual-residual matvec P @ x touches ~6% of the dense bytes
+    (the dense P is still used for the KKT formation and the objective).
 
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
@@ -375,6 +383,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             x0 = jnp.concatenate([x0, jnp.zeros((e, n), dtype)])
         if z0 is not None:
             z0 = jnp.concatenate([z0, jnp.ones((e, m), dtype)])
+        if p_blocks is not None:
+            # pad instances have P = eye(n): eye blocks + unit tail diagonal
+            nb_, d_ = p_blocks.shape[1], p_blocks.shape[2]
+            p_blocks = jnp.concatenate([
+                p_blocks,
+                jnp.broadcast_to(jnp.eye(d_, dtype=dtype), (e, nb_, d_, d_))])
     B = b_pad
 
     # --- equilibration (canonical, once per solve) ---
@@ -387,7 +401,6 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
 
     # lane-layout copies: ONE transpose each per solve, loop-invariant
     G_lane = pll.to_lane3(G_c)                                # (mg', n_pad, B)
-    P_lane = pll.to_lane3(P_s)                                # (n', n_pad, B)
     mg_pad = G_lane.shape[0]
 
     # everything below lives as (dim, B) — batch on lanes
@@ -407,8 +420,25 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     def gtmv(v):                                              # (mg,B)->(n,B)
         return pll.gtmv_lane(G_lane, pad_rows(v, mg_pad))[:n]
 
-    def pmv(x):                                               # (n,B)->(n,B)
-        return pll.gmv_lane(P_lane, pad_rows(x, n_pad))[:n]
+    if p_blocks is None:
+        P_lane = pll.to_lane3(P_s)                            # (n', n_pad, B)
+
+        def pmv(x):                                           # (n,B)->(n,B)
+            return pll.gmv_lane(P_lane, pad_rows(x, n_pad))[:n]
+    else:
+        nb, d = p_blocks.shape[1], p_blocks.shape[2]
+        nbd = nb * d
+        pb_lane = jnp.transpose(
+            p_blocks * cost_scale[:, None, None, None],
+            (1, 2, 3, 0))                                     # (nb, d, d, B)
+        ptail = t(jnp.diagonal(P_s, axis1=1, axis2=2)[:, nbd:])
+
+        def pmv(x):
+            xb = x[:nbd].reshape(nb, d, B)
+            px = jnp.einsum("vijb,vjb->vib", pb_lane, xb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.concatenate(
+                [px.reshape(nbd, B), ptail * x[nbd:n]], axis=0)
 
     def ghat_mv(x):
         return jnp.concatenate([gmv(x), x, -x])               # (m, B)
@@ -555,7 +585,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                 jnp.swapaxes(G_c_pad, 1, 2) * wg_c[:, None, :],
                 G_c_pad, precision=k_precision)
             K_lane = jnp.transpose(K, (2, 1, 0))
-            px = pll.gmv_lane(P_lane, xl)
+            px = pad_rows(pmv(xl[:n]), n_pad)
             return pll.ipm_iterate_lane(
                 K_lane, G_lane, px, q_lane, pdiag,
                 xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,

@@ -284,7 +284,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         sol = qp.solve_qp_batched(P_qp, q_qp, G, rhs, lb, ub,
                                   max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                                   z0=c.z if qp_warm_dual else None,
-                                  fixed_iters=qp_fixed_iters)
+                                  fixed_iters=qp_fixed_iters,
+                                  p_blocks=2.0 * problem.phi0)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)

@@ -78,6 +78,37 @@ def test_fused_lane_path_unaligned_batch():
                                atol=5e-5)
 
 
+def test_fused_p_blocks_matches_dense_interpret():
+    """The block-diagonal P fast path (p_blocks) == the dense-P fused path
+    on QPs whose P really is block-diagonal plus a zero slack row."""
+    B, nb, d, mg = 64, 3, 5, 9
+    n = nb * d + 1
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    A = jax.random.normal(ks[0], (B, nb, d, d), jnp.float32)
+    blocks = jnp.einsum("bvij,bvkj->bvik", A, A) / d \
+        + 3 * jnp.eye(d, dtype=jnp.float32)
+    P = jnp.zeros((B, n, n), jnp.float32)
+    for v in range(nb):
+        P = P.at[:, v * d:(v + 1) * d, v * d:(v + 1) * d].set(blocks[:, v])
+    q = jax.random.normal(ks[1], (B, n), jnp.float32).at[:, -1].set(1.0)
+    G = jax.random.normal(ks[2], (B, mg, n), jnp.float32)
+    h = jnp.ones((B, mg), jnp.float32) * 2.0
+    lb = -jnp.ones((B, n), jnp.float32).at[:, -1].set(0.0)
+    ub = jnp.ones((B, n), jnp.float32) * 2.0
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_blk = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True,
+            p_blocks=blocks))(P, q, G, h, lb, ub)
+        r_dense = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True))(P, q, G, h, lb, ub)
+    finally:
+        pll.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(r_blk.x), np.asarray(r_dense.x),
+                               atol=5e-5)
+
+
 def test_solve_scp_stacked_matches_vmap():
     """Stacked SCP == vmapped SCP bit-for-bit when both use the same QP."""
     from scp_tpu.scenarios import batch as batch_lib
