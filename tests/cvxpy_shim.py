@@ -181,9 +181,16 @@ def vstack(arrs):
 
 
 def install():
-    """Install this shim as sys.modules['cvxpy'] (before reference import)."""
+    """Install this shim as sys.modules['cvxpy'].
+
+    If a 'cvxpy' module already exists (e.g. reference_oracle's inert stub,
+    installed by a test that ran earlier and didn't need the QP path), it is
+    mutated IN PLACE: already-imported reference modules hold a binding to
+    that module object, so replacing the sys.modules entry would leave them
+    on the stale stub.
+    """
     mod = sys.modules.get("cvxpy")
-    if mod is None or not hasattr(mod, "_is_scp_tpu_shim"):
+    if mod is None:
         mod = types.ModuleType("cvxpy")
         sys.modules["cvxpy"] = mod
     for name in ("Variable", "Problem", "Minimize", "quad_form", "vstack"):
