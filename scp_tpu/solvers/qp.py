@@ -463,11 +463,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     diag_pad = jnp.arange(n, n_pad)
 
     def factor(s, z):
-        # Jacobi-scaled KKT factorization (see solve_qp.factor).
+        # Jacobi-scaled KKT factorization (see solve_qp.factor). The dot
+        # contracts the G-row axis of both operands directly so XLA never
+        # materializes a transposed copy of G (only the w-scaled one).
         w = z / s                                             # (m, B)
         w_g = t(w[:mg])                                       # (B, mg)
-        K = P_s + jnp.matmul(jnp.swapaxes(G_c, 1, 2) * w_g[:, None, :],
-                             G_c, precision=k_precision)
+        K = P_s + jax.lax.dot_general(
+            G_c, G_c * w_g[:, :, None],
+            (((1,), (1,)), ((0,), (0,))), precision=k_precision)
         dbox = t(w[mg:mg + n] + w[mg + n:])                   # (B, n)
         di = jnp.arange(n)
         K = K.at[:, di, di].add(dbox)
@@ -580,10 +583,11 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
             wg_c = t2(zg[:mg] / sg[:mg])                    # (B, mg)
             # pure P + G^T W_g G on the MXU; box diagonal + regularization
-            # are added inside the fused kernel (in VMEM)
-            K = P_pad + jnp.matmul(
-                jnp.swapaxes(G_c_pad, 1, 2) * wg_c[:, None, :],
-                G_c_pad, precision=k_precision)
+            # are added inside the fused kernel (in VMEM). The dot contracts
+            # the G-row axis of both operands directly — no transposed copy.
+            K = P_pad + jax.lax.dot_general(
+                G_c_pad, G_c_pad * wg_c[:, :, None],
+                (((1,), (1,)), ((0,), (0,))), precision=k_precision)
             K_lane = jnp.transpose(K, (2, 1, 0))
             px = pad_rows(pmv(xl[:n]), n_pad)
             return pll.ipm_iterate_lane(
