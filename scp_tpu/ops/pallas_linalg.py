@@ -444,24 +444,43 @@ def _cho_solve_vmap(axis_size, in_batched, L, b):
 # benign via masks in every reduction.
 
 def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
-                         reg_rel: float = 3e-6):
+                         reg_rel: float = 3e-6,
+                         pb_dims: tuple[int, int] | None = None):
     """Build the fused-iteration kernel for static sizes.
 
     Layout: mg_pad = pad(mg, 32) G rows, n_pad = pad_dim(n) variables;
     vectors over the inequality system are (mg_pad + 2*n_pad, TB) stacked
     [G | ub | lb] with benign padding.
+
+    ``pb_dims = (nb, d)``: P is block-diagonal — ``nb`` dense (d, d) blocks
+    followed by a diagonal tail (read from ``pdiag``). The kernel then takes
+    the blocks (nb, d, d, B) in place of the ``px`` input, ADDS them to the
+    incoming K (which must be the pure ``G^T W_g G`` product, no P), and
+    computes ``P @ x`` itself — the XLA side neither materializes the dense
+    padded P (a 32 MB/iteration HBM read at B=1024, n=88) nor runs the
+    block matvec as a separate fusion.
     """
     mg_pad = _pad_to(mg, _MV_MB)
     n_pad = pad_dim(n)
+    nb, d = pb_dims if pb_dims is not None else (0, 0)
+    nbd = nb * d
+    # blocks ship with the inner (contraction) axis padded to the sublane
+    # tile: an HBM->VMEM DMA must match the tiled HBM layout exactly
+    # (Mosaic rejects a (nb, d, d, B) copy when d % 8 != 0).
+    d8 = _pad_to(d, _SUBLANE) if d else 0
 
-    def kernel(k_hbm, g_hbm, px_ref, q_ref, pd_ref,
+    def kernel(k_hbm, g_hbm, p_in, q_ref, pd_ref,
                x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
                rpg_ref, rpu_ref, rpl_ref,
                scal_ref,
                xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
                rpgo_ref, rpuo_ref, rplo_ref,
                scalo_ref,
-               kv_ref, gv_ref, y_ref, sem_k, sem_g):
+               kv_ref, gv_ref, y_ref, *rest):
+        if pb_dims is not None:
+            pbv_ref, sem_k, sem_g, sem_pb = rest
+        else:
+            sem_k, sem_g = rest
         i = pl.program_id(0)
         dma_k = pltpu.make_async_copy(
             k_hbm.at[:, :, pl.ds(i * TB, TB)], kv_ref, sem_k)
@@ -469,6 +488,10 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             g_hbm.at[:, :, pl.ds(i * TB, TB)], gv_ref, sem_g)
         dma_k.start()
         dma_g.start()
+        if pb_dims is not None:
+            dma_pb = pltpu.make_async_copy(
+                p_in.at[:, :, :, pl.ds(i * TB, TB)], pbv_ref, sem_pb)
+            dma_pb.start()
 
         mrow = jax.lax.broadcasted_iota(jnp.int32, (mg_pad, TB), 0)
         nrow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TB), 0)
@@ -479,7 +502,21 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         x = x_ref[...]
         sg, su, sl = sg_ref[...], su_ref[...], sl_ref[...]
         zg, zu, zl = zg_ref[...], zu_ref[...], zl_ref[...]
-        px, q = px_ref[...], q_ref[...]
+        q = q_ref[...]
+        if pb_dims is not None:
+            # P @ x from the resident blocks + diagonal tail (pad rows of x
+            # are exactly zero: they never leave the zero init because the
+            # Newton rhs is zero there, so no masking is needed).
+            dma_pb.wait()
+            pbv = pbv_ref[...]                           # (nb, d, d8, TB)
+            xb = x[0:nbd].reshape(nb, d, TB)
+            xbp = jnp.pad(xb, ((0, 0), (0, d8 - d), (0, 0)))
+            pxb = jnp.sum(pbv * xbp[:, None, :, :], axis=2)
+            px = jnp.concatenate(
+                [pxb.reshape(nbd, TB),
+                 pd_ref[pl.ds(nbd, n_pad - nbd), :] * x[nbd:]], axis=0)
+        else:
+            px = p_in[...]
 
         wg = jnp.where(mk_g, zg / sg, 0.0)
         wu = jnp.where(mk_n, zu / su, 0.0)
@@ -534,6 +571,17 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         dsc = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))
 
         dma_k.wait()
+        if pb_dims is not None:
+            # K arrived as the bare G^T W_g G product: add the (symmetric)
+            # P blocks in VMEM; the diagonal tail of P joins dbox below.
+            for vb in range(nb):
+                o = vb * d
+                kv_ref[pl.ds(o, d), pl.ds(o, d), :] = (
+                    kv_ref[pl.ds(o, d), pl.ds(o, d), :] + pbv[vb][:, :d, :])
+            dadd = dbox + jnp.where((nrow >= nbd) & (nrow < n),
+                                    pd_ref[...], 0.0)
+        else:
+            dadd = dbox
         for cs in range(0, n_pad, _CHUNK):
             cw = min(_CHUNK, n_pad - cs)
             blk = kv_ref[pl.ds(cs, cw), :, :]
@@ -542,9 +590,9 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (cw, n_pad, TB), 1)
             diag_mask = cols == rows
-            dbox_blk = dbox[cs:cs + cw][:, None, :]
+            dadd_blk = dadd[cs:cs + cw][:, None, :]
             dsc_blk = dsc[cs:cs + cw][:, None, :]
-            scaled = (blk + jnp.where(diag_mask, dbox_blk, 0.0)) \
+            scaled = (blk + jnp.where(diag_mask, dadd_blk, 0.0)) \
                 * dsc_blk * dsc[None, :, :]
             kv_ref[pl.ds(cs, cw), :, :] = (
                 scaled + jnp.where(diag_mask, reg_rel, 0.0))
@@ -646,17 +694,24 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
 def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
                      x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                      *, mg: int, n: int, m_true: int, tol: float,
-                     reg_rel: float = 3e-6):
+                     reg_rel: float = 3e-6, pb=None):
     """One fused Mehrotra iteration over the whole batch.
 
     K_lane: (n_pad, n_pad, B) pre-formed+regularized KKT (kernel layout,
     unit diagonal on the pad block); G_lane: (mg_pad, n_pad, B); all vectors
     (rows, B) lane layout with benign padding; scal: (8, B) lane scalars
     [mu_prev, frozen, ...]. Returns the updated (x, sg, su, sl, zg, zu, zl,
-    scal)."""
+    scal).
+
+    ``pb``: optional (nb, d, d, B) block-diagonal P statement. When given,
+    pass ``px=None`` and ``K_lane`` as the bare ``G^T W_g G`` product: the
+    kernel adds the P blocks (+ the diagonal tail from ``pdiag``) in VMEM
+    and computes ``P @ x`` itself (see ``make_ipm_iter_kernel``)."""
     n_pad, _, B = K_lane.shape
     mg_pad = G_lane.shape[0]
-    kernel, _, _ = make_ipm_iter_kernel(mg, n, m_true, tol, reg_rel)
+    pb_dims = None if pb is None else pb.shape[:2]
+    kernel, _, _ = make_ipm_iter_kernel(mg, n, m_true, tol, reg_rel,
+                                        pb_dims=pb_dims)
     vec_m = pl.BlockSpec((mg_pad, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     vec_n = pl.BlockSpec((n_pad, TB), lambda i: (0, i),
@@ -664,6 +719,18 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
     vec_s = pl.BlockSpec((_SUBLANE, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
+    if pb is None:
+        p_spec, p_arg = vec_n, px                    # px vector input
+        pb_scratch = []
+        pb_sems = []
+    else:
+        assert px is None
+        nb, d = pb_dims
+        d8 = _pad_to(d, _SUBLANE)
+        pb = jnp.pad(pb, ((0, 0), (0, 0), (0, d8 - d), (0, 0)))
+        p_spec, p_arg = pl.BlockSpec(memory_space=pltpu.ANY), pb
+        pb_scratch = [pltpu.VMEM((nb, d, d8, TB), f32)]
+        pb_sems = [pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -673,7 +740,7 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # K
             pl.BlockSpec(memory_space=pltpu.ANY),    # G
-            vec_n, vec_n, vec_n,                     # px, q, pdiag
+            p_spec, vec_n, vec_n,                    # px|pb, q, pdiag
             vec_n, vec_m, vec_n, vec_n,              # x, sg, su, sl
             vec_m, vec_n, vec_n,                     # zg, zu, zl
             vec_m, vec_n, vec_n,                     # rpg, rpu, rpl
@@ -698,9 +765,10 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
             pltpu.VMEM((n_pad, n_pad, TB), f32),     # K / factor
             pltpu.VMEM((mg_pad, n_pad, TB), f32),    # G tile
             pltpu.VMEM((n_pad, TB), f32),            # solve scratch
+        ] + pb_scratch + [
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-        ],
-    )(K_lane, G_lane, px, q, pdiag,
+        ] + pb_sems,
+    )(K_lane, G_lane, p_arg, q, pdiag,
       x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal)
     return outs

@@ -395,8 +395,19 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     row_norm = jnp.linalg.norm(G, axis=2)                     # (B, mg)
     d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
     G_c = G * d_row[:, :, None]                               # canonical
-    cost_scale = 1.0 / jnp.maximum(
-        jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)                # (B,)
+    if p_blocks is not None:
+        # P == blockdiag(p_blocks) + diagonal tail: every P-derived scalar
+        # comes from the compact statement, so the dense P is never read on
+        # the block path (P_s below is dead code XLA eliminates).
+        nbd0 = p_blocks.shape[1] * p_blocks.shape[2]
+        tail_diag = jnp.diagonal(P, axis1=1, axis2=2)[:, nbd0:]  # (B, n-nbd)
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(p_blocks), axis=(1, 2, 3)),
+            jnp.max(jnp.abs(tail_diag), axis=1, initial=0.0))
+        cost_scale = 1.0 / jnp.maximum(absmax, 1.0)           # (B,)
+    else:
+        cost_scale = 1.0 / jnp.maximum(
+            jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)            # (B,)
     P_s = P * cost_scale[:, None, None]
 
     # lane-layout copies: ONE transpose each per solve, loop-invariant
@@ -575,25 +586,33 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         rpl = jnp.where(nrow, -xl + sl - hl, 0.0)
 
         G_c_pad = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
-        P_pad = jnp.pad(P_s, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-        P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
+        if p_blocks is None:
+            P_pad = jnp.pad(P_s, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+            P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
         pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
 
         def fori_body(_, state):
             xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
             wg_c = t2(zg[:mg] / sg[:mg])                    # (B, mg)
-            # pure P + G^T W_g G on the MXU; box diagonal + regularization
-            # are added inside the fused kernel (in VMEM). The dot contracts
-            # the G-row axis of both operands directly — no transposed copy.
-            K = P_pad + jax.lax.dot_general(
+            # G^T W_g G on the MXU; box diagonal + regularization are added
+            # inside the fused kernel (in VMEM). The dot contracts the G-row
+            # axis of both operands directly — no transposed copy. On the
+            # block path the kernel also adds the P blocks and computes
+            # P @ x itself (the dense padded P never touches HBM).
+            Kprod = jax.lax.dot_general(
                 G_c_pad, G_c_pad * wg_c[:, :, None],
                 (((1,), (1,)), ((0,), (0,))), precision=k_precision)
-            K_lane = jnp.transpose(K, (2, 1, 0))
-            px = pad_rows(pmv(xl[:n]), n_pad)
+            if p_blocks is None:
+                K_lane = jnp.transpose(P_pad + Kprod, (2, 1, 0))
+                px, pb_arg = pad_rows(pmv(xl[:n]), n_pad), None
+            else:
+                K_lane = jnp.transpose(Kprod, (2, 1, 0))
+                px, pb_arg = None, pb_lane
             return pll.ipm_iterate_lane(
                 K_lane, G_lane, px, q_lane, pdiag,
                 xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
-                mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f)
+                mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f,
+                pb=pb_arg)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
         xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(
