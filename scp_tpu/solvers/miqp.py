@@ -77,8 +77,8 @@ def _linear_rows(sys: con.ConstraintSystem, u_ref: jax.Array,
     d_pair = pos[sys.pair_i] - pos[sys.pair_j]           # (P, K, 2)
     nvec_p = select_sides(d_pair) @ _SIDES.astype(u_ref.dtype)  # (P, K, 2)
     # constraint: n·(p_i - p_j) >= d  =>  -n·(B_i u_i - B_j u_j) <= n·(c_i-c_j) - d
-    gi = -jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3[sys.pair_i])
-    gj = jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3[sys.pair_j])
+    gi = -jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3i)
+    gj = jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3j)
     g_pair = (jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_i], gi)
               + jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_j], gj))
     c_diff = sys.const3[sys.pair_i] - sys.const3[sys.pair_j]
