@@ -49,10 +49,12 @@ def worker():
     cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
                       merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
 
-    # Phase schedule from the warm-step done-by-k histogram (~50% by 4,
-    # ~75% by 6, ~92% by 8): 4 + 2/2 + 14/8 = 6.75 effective full-batch
-    # iterations vs 11 for the legacy two-phase split.
-    PHASES = ((4, 1), (2, 2), (14, 8))
+    # Phase schedule from the warm-step done-by-k histogram (15% by 3,
+    # 45% by 4, 80% by 6, 92% by 8): 3 + 2/2 + 15/8 = 5.88 effective
+    # full-batch iterations. Instances beyond a phase's capacity keep their
+    # prior feasible iterate; measured closed-loop feasibility cost of the
+    # 3-iteration first phase is < 0.1% (scripts/sched_quality.py).
+    PHASES = ((3, 1), (2, 2), (15, 8))
 
     def step(d, carry):
         new_carry, out = engine.mpc_step_batch(cfg, d, carry, phases=PHASES)
