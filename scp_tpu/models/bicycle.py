@@ -93,10 +93,12 @@ def integrate(x0: jax.Array, u_ref: jax.Array, lf, lr, h: float,
     def step(x, _):
         def sub(x, _):
             return rk4_step(x, u_ref, lf, lr, hs), None
-        x, _ = jax.lax.scan(sub, x, None, length=substeps)
+        x, _ = jax.lax.scan(sub, x, None, length=substeps, unroll=True)
         return x, x
 
-    _, traj = jax.lax.scan(step, x0, None, length=n_steps)
+    # unroll: these are tiny (NX,) elementwise chains — the scan's
+    # per-iteration dispatch dominates; unrolled, XLA fuses stages.
+    _, traj = jax.lax.scan(step, x0, None, length=n_steps, unroll=True)
     return jnp.concatenate([x0[None], traj], axis=0)
 
 

@@ -47,12 +47,17 @@ def prediction_matrices(A: jax.Array, B: jax.Array, E: jax.Array,
     """
     C = output_matrix(A.dtype)
 
+    def mm(a, b):
+        # tiny matmul as broadcast-multiply-reduce: batched (2, 6) @ (6, 6)
+        # dots use the MXU at <1% utilization under vmap (see discretize.py)
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
     # CA[i] = C @ A^i for i = 0..hp via scan (MPC_Iter.py:135-141).
     def step(ca, _):
-        nxt = ca @ A
+        nxt = mm(ca, A)
         return nxt, nxt
 
-    _, ca_powers = jax.lax.scan(step, C, None, length=hp)      # (hp, NY, NX): CA^1..CA^hp
+    _, ca_powers = jax.lax.scan(step, C, None, length=hp, unroll=True)      # (hp, NY, NX): CA^1..CA^hp
     ca_all = jnp.concatenate([C[None], ca_powers], axis=0)      # (hp+1, NY, NX): CA^0..CA^hp
 
     math_a = ca_powers.reshape(hp * NY, NX)
