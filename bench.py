@@ -46,8 +46,11 @@ def worker():
     cfg, data = batch_lib.make_batch(
         "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
         n_veh=N_VEH)
+    # qp_fixed_iters=7 recalibrated post pre-path/gather fixes: 50-step
+    # closed-loop feasibility 0.99906 at 7 vs 0.99766 at 9 with equal
+    # objective (scripts/qpit_quality.py); 6 degrades the objective ~7%.
     cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                      merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
+                      merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
 
     # Phase schedule from the warm-step done-by-k histogram (15% by 3,
     # 45% by 4, 80% by 6, 92% by 8): 3 + 2/2 + 15/8 = 5.88 effective
@@ -95,7 +98,7 @@ def worker():
 
     cfg1, data1 = builders.circle(N_VEH, dtype=jnp.float32)
     cfg1 = cfg1.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                        merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
+                        merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
     LSTEPS = 10
 
     @jax.jit
