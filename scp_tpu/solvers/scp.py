@@ -376,6 +376,12 @@ def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
     stage's capacity keep their prior-stage result (equivalent to a lower
     iteration cap for them; pick fracs so capacity is ~2x the expected
     straggler count from the done-by-k histogram).
+
+    A phase entry may carry an optional third element overriding
+    ``qp_fixed_iters`` for that phase: early full-batch phases tolerate
+    looser inner QPs (the SCP iterate is far from its fixed point), while
+    straggler phases — by construction the hard instances — keep the
+    accurate setting.
     """
     b = u_init.shape[0]
     if phases is None:
@@ -385,23 +391,24 @@ def solve_scp_batch(problems: SCPProblem, u_init: jax.Array, *,
     if stacked is None:
         stacked = jax.default_backend() == "tpu"
 
-    def run(p, u, iters):
+    def run(p, u, iters, qp_it=None):
+        kw2 = kw if qp_it is None else {**kw, "qp_fixed_iters": qp_it}
         if stacked:
             return solve_scp_stacked(p, u, u_lim=u_lim,
-                                     max_scp_iter=iters, **kw)
+                                     max_scp_iter=iters, **kw2)
         return jax.vmap(
             lambda pi, ui: solve_scp(pi, ui, u_lim=u_lim,
-                                     max_scp_iter=iters, **kw))(p, u)
+                                     max_scp_iter=iters, **kw2))(p, u)
 
-    res = run(problems, u_init, phases[0][0])
+    res = run(problems, u_init, phases[0][0], *phases[0][2:])
 
-    for iters_k, frac_k in phases[1:]:
+    for iters_k, frac_k, *qp_over in phases[1:]:
         m = max(b // frac_k, 1)
         # pack unconverged to the front (False sorts before True)
         order = jnp.argsort(res.converged)
         idx = order[:m]
         sub_problems = jax.tree_util.tree_map(lambda x: x[idx], problems)
-        res_k = run(sub_problems, res.u[idx], iters_k)
+        res_k = run(sub_problems, res.u[idx], iters_k, *qp_over)
 
         take = ~res.converged[idx]
         res_k = res_k._replace(

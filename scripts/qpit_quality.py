@@ -21,12 +21,12 @@ base_cfg, data = batch_lib.make_batch(
     n_veh=N_VEH)
 
 
-def run(qpit, steps=50):
+def run(qpit, steps=50, phases=None):
     cfg = base_cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
                            merit_patience=2, qp_tol=1e-6, qp_fixed_iters=qpit)
     carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
     step = jax.jit(lambda d, c: engine.mpc_step_batch(
-        cfg, d, c, phases=PHASES))
+        cfg, d, c, phases=phases or PHASES))
     feas, viol, obj = [], [], []
     for _ in range(steps):
         carry, out = step(data, carry)
@@ -37,7 +37,11 @@ def run(qpit, steps=50):
             np.asarray(jnp.stack(obj)))
 
 
-for qpit in (9, 7, 6):
-    f, v, o = run(qpit)
-    print(f"qpit={qpit}: feas={f.mean():.5f}  max_viol={v.max():.2e}  "
-          f"viol_p99={np.percentile(v, 99):.2e}  mean_obj={o.mean():9.2f}")
+for label, qpit, ph in (
+        ("flat7", 7, None),
+        ("ph(6,6,9)", 7, ((3, 1, 6), (2, 2, 6), (15, 8, 9))),
+        ("ph(6,7,9)", 7, ((3, 1, 6), (2, 2, 7), (15, 8, 9))),
+        ("ph(5,7,9)", 7, ((3, 1, 5), (2, 2, 7), (15, 8, 9)))):
+    f, v, o = run(qpit, phases=ph)
+    print(f"{label:12s}: feas={f.mean():.5f}  max_viol={v.max():.2e}  "
+          f"mean_obj={o.mean():9.2f}")
