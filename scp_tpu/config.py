@@ -88,6 +88,9 @@ class SCPConfig:
     qp_max_iter: int = 30
     qp_tol: float = 1e-7
     qp_fixed_iters: int = 0   # >0: run exactly this many IPM iterations
+    qp_correctors: int = 0    # Gondzio centrality correctors per iteration
+    # (fused TPU kernel only): extra backsolves on the same factor that
+    # lengthen steps, trading factorizations for solves
     qp_warm_dual: bool = False  # warm-start IPM duals from the previous
     # SCP iteration's solve (allows fewer fixed iterations)
     qp_cheap_k: bool = False  # form KKT matrix with fast bf16 matmul

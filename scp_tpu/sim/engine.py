@@ -218,6 +218,7 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
         constraint_tolerance=cfg.constraint_tolerance,
         qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
         qp_fixed_iters=cfg.qp_fixed_iters or None,
+        qp_correctors=cfg.qp_correctors,
         qp_warm_dual=cfg.qp_warm_dual,
         qp_cheap_k=cfg.qp_cheap_k,
         compat_q5=cfg.compat_q5)

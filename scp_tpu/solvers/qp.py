@@ -321,7 +321,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      tol: float = 1e-8, x0=None, z0=None,
                      fixed_iters: int | None = None,
                      use_pallas: bool | None = None,
-                     p_blocks=None) -> QPSolution:
+                     p_blocks=None, correctors: int = 0) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -612,7 +612,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                 K_lane, G_lane, px, q_lane, pdiag,
                 xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                 mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f,
-                pb=pb_arg)
+                pb=pb_arg, n_cor=correctors)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
         xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(

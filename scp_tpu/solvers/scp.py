@@ -59,6 +59,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               qp_fixed_iters: int | None = None,
               qp_cheap_k: bool = False,
               qp_warm_dual: bool = False,
+              qp_correctors: int = 0,
               compat_q5: bool = True) -> SCPResult:
     """Solve one SCP instance. Shapes are static; vmap for batches.
 
@@ -212,6 +213,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       qp_fixed_iters: int | None = None,
                       qp_cheap_k: bool = False,
                       qp_warm_dual: bool = False,
+                      qp_correctors: int = 0,
                       compat_q5: bool = True) -> SCPResult:
     """Natively-batched :func:`solve_scp` (leading batch axis).
 
@@ -285,7 +287,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                                   z0=c.z if qp_warm_dual else None,
                                   fixed_iters=qp_fixed_iters,
-                                  p_blocks=2.0 * problem.phi0)
+                                  p_blocks=2.0 * problem.phi0,
+                                  correctors=qp_correctors)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)
