@@ -446,7 +446,7 @@ def _cho_solve_vmap(axis_size, in_batched, L, b):
 def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                          reg_rel: float = 3e-6,
                          pb_dims: tuple[int, int] | None = None,
-                         n_cor: int = 0):
+                         n_cor: int = 0, schur_slack: bool = False):
     """Build the fused-iteration kernel for static sizes.
 
     Layout: mg_pad = pad(mg, 32) G rows, n_pad = pad_dim(n) variables;
@@ -463,6 +463,15 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     """
     mg_pad = _pad_to(mg, _MV_MB)
     n_pad = pad_dim(n)
+    # schur_slack: variable n-1 (index nu) is a slack with zero P row/col
+    # (the SCP exact-penalty omega). Its scaled KKT column is eliminated by
+    # a rank-1 Schur update so the factorization and substitutions run on
+    # nu columns — a sublane multiple — instead of n_pad (80 vs 88 for the
+    # SCP QP: ~25% less factor work, and K never carries the slack).
+    nu = n - 1
+    if schur_slack:
+        assert nu % _SUBLANE == 0, "schur_slack needs (n-1) % 8 == 0"
+    ks = nu if schur_slack else n_pad       # factored-system size
     nb, d = pb_dims if pb_dims is not None else (0, 0)
     nbd = nb * d
     # blocks ship with the inner (contraction) axis padded to the sublane
@@ -583,27 +592,59 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                                     pd_ref[...], 0.0)
         else:
             dadd = dbox
-        for cs in range(0, n_pad, _CHUNK):
-            cw = min(_CHUNK, n_pad - cs)
+        dsc_k = dsc[:ks]
+        for cs in range(0, ks, _CHUNK):
+            cw = min(_CHUNK, ks - cs)
             blk = kv_ref[pl.ds(cs, cw), :, :]
             cols = jax.lax.broadcasted_iota(
-                jnp.int32, (cw, n_pad, TB), 0) + cs
+                jnp.int32, (cw, ks, TB), 0) + cs
             rows = jax.lax.broadcasted_iota(
-                jnp.int32, (cw, n_pad, TB), 1)
+                jnp.int32, (cw, ks, TB), 1)
             diag_mask = cols == rows
             dadd_blk = dadd[cs:cs + cw][:, None, :]
             dsc_blk = dsc[cs:cs + cw][:, None, :]
             scaled = (blk + jnp.where(diag_mask, dadd_blk, 0.0)) \
-                * dsc_blk * dsc[None, :, :]
+                * dsc_blk * dsc_k[None, :, :]
             kv_ref[pl.ds(cs, cw), :, :] = (
                 scaled + jnp.where(diag_mask, reg_rel, 0.0))
-        _factor_in_place(kv_ref, n_pad)
+        if schur_slack:
+            # Scaled border column of the eliminated slack: the slack's P
+            # row is zero, so its KKT column is pure G^T W g_slack; the
+            # analytic diagonal dk[nu] IS its exact diagonal, so after the
+            # Jacobi scaling kappa~ = 1 (+ the same regularization as every
+            # other diagonal). Eliminate: Ks = K~uu - kb kb^T / kappa~.
+            gslack = gv_ref[:, nu, :]                        # (mg_pad, TB)
+            kuw = gtmv(wg * gslack)                          # (n_pad, TB)
+            kb = (dsc * kuw * dsc[nu][None, :])[:nu]         # (nu, TB)
+            inv_kappa = 1.0 / (1.0 + reg_rel)
+            kbk = inv_kappa * kb
+            for cs in range(0, nu, _CHUNK):
+                cw = min(_CHUNK, nu - cs)
+                blk = kv_ref[pl.ds(cs, cw), :, :]
+                kv_ref[pl.ds(cs, cw), :, :] = blk - (
+                    kbk[cs:cs + cw][:, None, :] * kb[None, :, :])
+        _factor_in_place(kv_ref, ks)
+
+        def solve_kkt(rhs):
+            """dx = K^-1 rhs through the Jacobi scaling (and, with
+            schur_slack, the bordered back-substitution for the slack)."""
+            rt = dsc * rhs
+            if not schur_slack:
+                return dsc * _fwd_bwd_solve(kv_ref, rt, y_ref, n_pad)
+            rw = rt[nu]                                      # (TB,)
+            ru = rt - jnp.pad(kb, ((0, n_pad - nu), (0, 0))) \
+                * (inv_kappa * rw)[None, :]
+            y = _fwd_bwd_solve(kv_ref, ru, y_ref, nu)
+            xw = (rw - jnp.sum(kb * y[:nu], axis=0)) * inv_kappa
+            xt = jnp.where(nrow == nu, xw[None, :],
+                           jnp.where(nrow < nu, y, 0.0))
+            return dsc * xt
 
         # rd + box parts of Ghat^T, shared by both solves:
         # rhs = -(px + q + G^T(zg + tg) + (zu + tu) - (zl + tl))
         def newton(tg, tu, tl):
             rhs = -(px + q + gtmv(zg + tg) + (zu + tu) - (zl + tl))
-            dx = dsc * _fwd_bwd_solve(kv_ref, dsc * rhs, y_ref, n_pad)
+            dx = solve_kkt(rhs)
             gdx = gmv(dx)
             return dx, gdx
 
@@ -676,7 +717,7 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             tu = jnp.where(mk_n, -dru_c / su, 0.0)
             tl = jnp.where(mk_n, -drl_c / sl, 0.0)
             rhs_c = -(gtmv(tg) + tu - tl)
-            dxc = dsc * _fwd_bwd_solve(kv_ref, dsc * rhs_c, y_ref, n_pad)
+            dxc = solve_kkt(rhs_c)
             gdxc = gmv(dxc)
             dzg_c = jnp.where(mk_g, wg * gdxc + tg, 0.0)
             dzu_c = jnp.where(mk_n, wu * dxc + tu, 0.0)
@@ -744,7 +785,8 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
 def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
                      x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                      *, mg: int, n: int, m_true: int, tol: float,
-                     reg_rel: float = 3e-6, pb=None, n_cor: int = 0):
+                     reg_rel: float = 3e-6, pb=None, n_cor: int = 0,
+                     schur_slack: bool = False):
     """One fused Mehrotra iteration over the whole batch.
 
     K_lane: (n_pad, n_pad, B) pre-formed+regularized KKT (kernel layout,
@@ -756,12 +798,20 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
     ``pb``: optional (nb, d, d, B) block-diagonal P statement. When given,
     pass ``px=None`` and ``K_lane`` as the bare ``G^T W_g G`` product: the
     kernel adds the P blocks (+ the diagonal tail from ``pdiag``) in VMEM
-    and computes ``P @ x`` itself (see ``make_ipm_iter_kernel``)."""
-    n_pad, _, B = K_lane.shape
+    and computes ``P @ x`` itself (see ``make_ipm_iter_kernel``).
+
+    ``schur_slack``: variable n-1 is a slack with zero P row/col; pass
+    ``K_lane`` as the (nu, nu, B) non-slack block only — the kernel forms
+    the slack border itself and factors nu columns (see
+    ``make_ipm_iter_kernel``)."""
+    ks, _, B = K_lane.shape
+    n_pad = pad_dim(n)
     mg_pad = G_lane.shape[0]
     pb_dims = None if pb is None else pb.shape[:2]
     kernel, _, _ = make_ipm_iter_kernel(mg, n, m_true, tol, reg_rel,
-                                        pb_dims=pb_dims, n_cor=n_cor)
+                                        pb_dims=pb_dims, n_cor=n_cor,
+                                        schur_slack=schur_slack)
+    assert ks == (n - 1 if schur_slack else n_pad), (ks, n, schur_slack)
     vec_m = pl.BlockSpec((mg_pad, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     vec_n = pl.BlockSpec((n_pad, TB), lambda i: (0, i),
@@ -812,7 +862,7 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
             jax.ShapeDtypeStruct((_SUBLANE, B), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_pad, n_pad, TB), f32),     # K / factor
+            pltpu.VMEM((ks, ks, TB), f32),           # K / factor
             pltpu.VMEM((mg_pad, n_pad, TB), f32),    # G tile
             pltpu.VMEM((n_pad, TB), f32),            # solve scratch
         ] + pb_scratch + [

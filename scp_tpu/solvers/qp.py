@@ -321,7 +321,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      tol: float = 1e-8, x0=None, z0=None,
                      fixed_iters: int | None = None,
                      use_pallas: bool | None = None,
-                     p_blocks=None, correctors: int = 0) -> QPSolution:
+                     p_blocks=None, correctors: int = 0,
+                     slack_schur: bool = False) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -585,10 +586,22 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         rpu = jnp.where(nrow, xl + su - hu_, 0.0)
         rpl = jnp.where(nrow, -xl + sl - hl, 0.0)
 
-        G_c_pad = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
-        if p_blocks is None:
-            P_pad = jnp.pad(P_s, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-            P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
+        # slack_schur: variable n-1 is a slack with zero P row/col (the
+        # SCP omega) — form K on the non-slack block only and let the
+        # kernel eliminate the slack border (pallas_linalg.make_ipm_iter_
+        # kernel): the factorization runs on n-1 (a sublane multiple)
+        # columns instead of n_pad.
+        use_schur = slack_schur and (n - 1) % 8 == 0
+        if use_schur:
+            G_k = G_c[:, :, :n - 1]                  # loop-invariant slice
+            if p_blocks is None:
+                P_pad = P_s[:, :n - 1, :n - 1]
+        else:
+            G_k = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
+            if p_blocks is None:
+                P_pad = jnp.pad(P_s,
+                                ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+                P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
         pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
 
         def fori_body(_, state):
@@ -600,7 +613,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             # block path the kernel also adds the P blocks and computes
             # P @ x itself (the dense padded P never touches HBM).
             Kprod = jax.lax.dot_general(
-                G_c_pad, G_c_pad * wg_c[:, :, None],
+                G_k, G_k * wg_c[:, :, None],
                 (((1,), (1,)), ((0,), (0,))), precision=k_precision)
             if p_blocks is None:
                 K_lane = jnp.transpose(P_pad + Kprod, (2, 1, 0))
@@ -612,7 +625,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                 K_lane, G_lane, px, q_lane, pdiag,
                 xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                 mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f,
-                pb=pb_arg, n_cor=correctors)
+                pb=pb_arg, n_cor=correctors, schur_slack=use_schur)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
         xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(

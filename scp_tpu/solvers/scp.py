@@ -288,7 +288,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   z0=c.z if qp_warm_dual else None,
                                   fixed_iters=qp_fixed_iters,
                                   p_blocks=2.0 * problem.phi0,
-                                  correctors=qp_correctors)
+                                  correctors=qp_correctors,
+                                  slack_schur=True)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)
