@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scp_tpu.ops import linalg as _lin
 
-TB = 128          # batch tile = lane width
+TB = 128          # batch tile = lane width. 256 measured 25% SLOWER end-to-
+                   # end (32523 -> 24377 solves/s, compile 17 -> 56 s): the
+                   # 2-vregs-per-op unrolled factor/solve bodies spill, they
+                   # don't fill latency bubbles.
 _SUBLANE = 8
 
 # Tests can flip this to run the kernels in Pallas interpret mode on CPU.
@@ -479,30 +482,20 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     # (Mosaic rejects a (nb, d, d, B) copy when d % 8 != 0).
     d8 = _pad_to(d, _SUBLANE) if d else 0
 
-    def kernel(k_hbm, g_hbm, p_in, q_ref, pd_ref,
+    def kernel(k_in, gv_ref, p_in, q_ref, pd_ref,
                x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
                rpg_ref, rpu_ref, rpl_ref,
                scal_ref,
                xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
                rpgo_ref, rpuo_ref, rplo_ref,
                scalo_ref,
-               kv_ref, gv_ref, y_ref, *rest):
-        if pb_dims is not None:
-            pbv_ref, sem_k, sem_g, sem_pb = rest
-        else:
-            sem_k, sem_g = rest
-        i = pl.program_id(0)
-        dma_k = pltpu.make_async_copy(
-            k_hbm.at[:, :, pl.ds(i * TB, TB)], kv_ref, sem_k)
-        dma_g = pltpu.make_async_copy(
-            g_hbm.at[:, :, pl.ds(i * TB, TB)], gv_ref, sem_g)
-        dma_k.start()
-        dma_g.start()
-        if pb_dims is not None:
-            dma_pb = pltpu.make_async_copy(
-                p_in.at[:, :, :, pl.ds(i * TB, TB)], pbv_ref, sem_pb)
-            dma_pb.start()
-
+               kv_ref, y_ref):
+        # K, G and the P blocks arrive as auto-pipelined VMEM input blocks:
+        # Pallas prefetches tile i+1 while tile i computes, overlapping the
+        # ~9 MB/tile of HBM reads with the factorization (the manual-DMA
+        # version this replaces serialized them — ~25% of kernel time).
+        # K is read-only as an input, so the Jacobi-scale pass below doubles
+        # as the copy into the factor scratch ``kv_ref``.
         mrow = jax.lax.broadcasted_iota(jnp.int32, (mg_pad, TB), 0)
         nrow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, TB), 0)
         mk_g = mrow < mg          # real G rows
@@ -517,8 +510,7 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             # P @ x from the resident blocks + diagonal tail (pad rows of x
             # are exactly zero: they never leave the zero init because the
             # Newton rhs is zero there, so no masking is needed).
-            dma_pb.wait()
-            pbv = pbv_ref[...]                           # (nb, d, d8, TB)
+            pbv = p_in[...]                              # (nb, d, d8, TB)
             xb = x[0:nbd].reshape(nb, d, TB)
             xbp = jnp.pad(xb, ((0, 0), (0, d8 - d), (0, 0)))
             pxb = jnp.sum(pbv * xbp[:, None, :, :], axis=2)
@@ -532,7 +524,6 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         wu = jnp.where(mk_n, zu / su, 0.0)
         wl = jnp.where(mk_n, zl / sl, 0.0)
 
-        dma_g.wait()
         _MB = 16  # matvec row-chunk: bounds the (chunk, n_pad, TB) temporary
 
         def gmv(vec_n):
@@ -580,33 +571,6 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         dk = pd_ref[...] + gsq + dbox                    # (n_pad, TB)
         dsc = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))
 
-        dma_k.wait()
-        if pb_dims is not None:
-            # K arrived as the bare G^T W_g G product: add the (symmetric)
-            # P blocks in VMEM; the diagonal tail of P joins dbox below.
-            for vb in range(nb):
-                o = vb * d
-                kv_ref[pl.ds(o, d), pl.ds(o, d), :] = (
-                    kv_ref[pl.ds(o, d), pl.ds(o, d), :] + pbv[vb][:, :d, :])
-            dadd = dbox + jnp.where((nrow >= nbd) & (nrow < n),
-                                    pd_ref[...], 0.0)
-        else:
-            dadd = dbox
-        dsc_k = dsc[:ks]
-        for cs in range(0, ks, _CHUNK):
-            cw = min(_CHUNK, ks - cs)
-            blk = kv_ref[pl.ds(cs, cw), :, :]
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (cw, ks, TB), 0) + cs
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (cw, ks, TB), 1)
-            diag_mask = cols == rows
-            dadd_blk = dadd[cs:cs + cw][:, None, :]
-            dsc_blk = dsc[cs:cs + cw][:, None, :]
-            scaled = (blk + jnp.where(diag_mask, dadd_blk, 0.0)) \
-                * dsc_blk * dsc_k[None, :, :]
-            kv_ref[pl.ds(cs, cw), :, :] = (
-                scaled + jnp.where(diag_mask, reg_rel, 0.0))
         if schur_slack:
             # Scaled border column of the eliminated slack: the slack's P
             # row is zero, so its KKT column is pure G^T W g_slack; the
@@ -618,11 +582,46 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             kb = (dsc * kuw * dsc[nu][None, :])[:nu]         # (nu, TB)
             inv_kappa = 1.0 / (1.0 + reg_rel)
             kbk = inv_kappa * kb
-            for cs in range(0, nu, _CHUNK):
-                cw = min(_CHUNK, nu - cs)
-                blk = kv_ref[pl.ds(cs, cw), :, :]
-                kv_ref[pl.ds(cs, cw), :, :] = blk - (
-                    kbk[cs:cs + cw][:, None, :] * kb[None, :, :])
+        # ONE unmasked pass over K: Jacobi scale (and, with schur_slack,
+        # the fused border elimination), reading the pipelined input block
+        # and writing the factor scratch. The diagonal needs the box terms
+        # + regularization, but its post-scale value is ANALYTIC —
+        # dk * dsc^2 + reg = 1 + reg (minus the border term) — so instead
+        # of iota/select masks in the full-K pass (and a second full-K
+        # pass for the Schur update), the diagonal is overwritten in a
+        # cheap 8x8-block sweep below.
+        dsc_k = dsc[:ks]
+        for cs in range(0, ks, _CHUNK):
+            cw = min(_CHUNK, ks - cs)
+            blk = k_in[pl.ds(cs, cw), :, :]
+            scaled = blk * (dsc[cs:cs + cw][:, None, :] * dsc_k[None, :, :])
+            if schur_slack:
+                scaled = scaled - (kbk[cs:cs + cw][:, None, :]
+                                   * kb[None, :, :])
+            kv_ref[pl.ds(cs, cw), :, :] = scaled
+        if pb_dims is not None:
+            # K arrived as the bare G^T W_g G product: add the (symmetric)
+            # P blocks — post-scale, so scale them the same way.
+            for vb in range(nb):
+                o = vb * d
+                psc = dsc[o:o + d]
+                kv_ref[pl.ds(o, d), pl.ds(o, d), :] = (
+                    kv_ref[pl.ds(o, d), pl.ds(o, d), :]
+                    + pbv[vb][:, :d, :]
+                    * (psc[:, None, :] * psc[None, :, :]))
+        dmask = (jax.lax.broadcasted_iota(
+            jnp.int32, (_SUBLANE, _SUBLANE, 1), 0)
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (_SUBLANE, _SUBLANE, 1), 1))
+        one_reg = jnp.float32(1.0 + reg_rel)
+        for base in range(0, ks, _SUBLANE):
+            dval = jnp.full((_SUBLANE, TB), one_reg)
+            if schur_slack:
+                dval = dval - (kbk[base:base + _SUBLANE]
+                               * kb[base:base + _SUBLANE])
+            dblk = kv_ref[pl.ds(base, _SUBLANE), pl.ds(base, _SUBLANE), :]
+            kv_ref[pl.ds(base, _SUBLANE), pl.ds(base, _SUBLANE), :] = \
+                jnp.where(dmask, dval[:, None, :], dblk)
         _factor_in_place(kv_ref, ks)
 
         def solve_kkt(rhs):
@@ -821,16 +820,14 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
     f32 = jnp.float32
     if pb is None:
         p_spec, p_arg = vec_n, px                    # px vector input
-        pb_scratch = []
-        pb_sems = []
     else:
         assert px is None
         nb, d = pb_dims
         d8 = _pad_to(d, _SUBLANE)
         pb = jnp.pad(pb, ((0, 0), (0, 0), (0, d8 - d), (0, 0)))
-        p_spec, p_arg = pl.BlockSpec(memory_space=pltpu.ANY), pb
-        pb_scratch = [pltpu.VMEM((nb, d, d8, TB), f32)]
-        pb_sems = [pltpu.SemaphoreType.DMA(())]
+        p_spec = pl.BlockSpec((nb, d, d8, TB), lambda i: (0, 0, 0, i),
+                              memory_space=pltpu.VMEM)
+        p_arg = pb
     outs = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -838,8 +835,10 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
             vmem_limit_bytes=100 * 2**20),
         grid=(B // TB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # K
-            pl.BlockSpec(memory_space=pltpu.ANY),    # G
+            pl.BlockSpec((ks, ks, TB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),   # K (pipelined)
+            pl.BlockSpec((mg_pad, n_pad, TB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),   # G (pipelined)
             p_spec, vec_n, vec_n,                    # px|pb, q, pdiag
             vec_n, vec_m, vec_n, vec_n,              # x, sg, su, sl
             vec_m, vec_n, vec_n,                     # zg, zu, zl
@@ -862,13 +861,9 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
             jax.ShapeDtypeStruct((_SUBLANE, B), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ks, ks, TB), f32),           # K / factor
-            pltpu.VMEM((mg_pad, n_pad, TB), f32),    # G tile
+            pltpu.VMEM((ks, ks, TB), f32),           # factor
             pltpu.VMEM((n_pad, TB), f32),            # solve scratch
-        ] + pb_scratch + [
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ] + pb_sems,
+        ],
     )(K_lane, G_lane, p_arg, q, pdiag,
       x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal)
     return outs
