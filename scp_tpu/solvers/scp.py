@@ -214,6 +214,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       qp_cheap_k: bool = False,
                       qp_warm_dual: bool = False,
                       qp_correctors: int = 0,
+                      qp_certificate: bool = False,
                       compat_q5: bool = True) -> SCPResult:
     """Natively-batched :func:`solve_scp` (leading batch axis).
 
@@ -289,7 +290,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   fixed_iters=qp_fixed_iters,
                                   p_blocks=2.0 * problem.phi0,
                                   correctors=qp_correctors,
-                                  slack_schur=True)
+                                  slack_schur=True,
+                                  certificate=qp_certificate)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)
