@@ -108,27 +108,15 @@ def _factor_in_place(out_ref, n):
             out_ref[pl.ds(cs, w), pl.ds(cs, rl), :] = block - acc
 
 
-def _cholesky_panel_kernel(hbm_ref, hbm_out_ref, out_ref, sem_in, sem_out):
-    """Batched Cholesky: manual DMA of one 128-instance tile + in-place
-    panel factorization (``_factor_in_place``).
-
-    The batch tile is DMA'd manually from HBM into a single VMEM scratch
-    (``out_ref``): Pallas' automatic block pipelining double-buffers both
-    input and output blocks, which overflows the 16 MB VMEM at
-    (96, 96, 128) f32 tiles.
-    """
-    i = pl.program_id(0)
-    dma_in = pltpu.make_async_copy(
-        hbm_ref.at[:, :, pl.ds(i * TB, TB)], out_ref, sem_in)
-    dma_in.start()
-    dma_in.wait()
-
+def _cholesky_panel_kernel(k_ref, out_ref):
+    """Batched Cholesky on one auto-pipelined 128-instance tile: copy the
+    input block into the output block and factor in place there. Pallas'
+    multiple-buffering prefetches tile i+1's K and writes back tile i-1's
+    factor while tile i factors (the 4 revolving (n, n, TB) buffers need
+    the raised ``vmem_limit_bytes``; the manual-DMA version this replaces
+    serialized the HBM traffic with the compute)."""
+    out_ref[...] = k_ref[...]
     _factor_in_place(out_ref, out_ref.shape[0])
-
-    dma_out = pltpu.make_async_copy(
-        out_ref, hbm_out_ref.at[:, :, pl.ds(i * TB, TB)], sem_out)
-    dma_out.start()
-    dma_out.wait()
 
 
 def _fwd_bwd_solve(l_ref, b, y_ref, n):
@@ -239,15 +227,14 @@ def cholesky_lane(K: jax.Array) -> jax.Array:
     return pl.pallas_call(
         _cholesky_panel_kernel,
         interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         grid=(B // TB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n, B), K.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, TB), K.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
     )(Kt)
 
 
@@ -332,15 +319,14 @@ def _batched_cholesky_impl(K: jax.Array) -> jax.Array:
     out = pl.pallas_call(
         _cholesky_panel_kernel,
         interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         grid=(b_pad // TB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # stays in HBM
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), K.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, n_pad, TB), K.dtype),       # working tile
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
     )(Kt)
     # NB: above-diagonal entries are garbage (``_factor_in_place``); the only
     # consumers (the cho_solve kernels) read strictly lower-triangular
