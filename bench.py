@@ -66,17 +66,32 @@ def worker():
     step_j = jax.jit(step)
     carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
 
+    # jax.block_until_ready does NOT synchronize through the axon TPU
+    # tunnel (CLAUDE.md); every timing below forces a device->host scalar
+    # readback instead and subtracts the measured round-trip baseline.
+    def readback(x):
+        return float(jnp.sum(x))
+
     t0 = time.time()
     carry, feas = step_j(data, carry)
-    jax.block_until_ready(carry)
+    readback(feas)
     compile_s = time.time() - t0
+
+    # Tunnel round-trip baseline: median readback of fresh trivial results.
+    rtts = []
+    for i in range(7):
+        y = jnp.zeros(()) + i
+        t0 = time.time()
+        float(y)
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
         carry, feas = step_j(data, carry)
-    jax.block_until_ready(carry)
-    dt = (time.time() - t0) / iters
+    readback(feas)
+    dt = (time.time() - t0 - rtt) / iters
 
     solves_per_sec = BATCH / dt
     result = {
@@ -89,34 +104,60 @@ def worker():
     print(f"# batch={BATCH} n_veh={N_VEH} hp={HP} step_ms={dt * 1e3:.1f} "
           f"compile_s={compile_s:.1f}", file=sys.stderr)
 
-    # Secondary metric (BASELINE.json): p50 per-step latency at the N=20
-    # horizon, single scenario (the real-time MPC budget). 10 closed-loop
-    # steps chained in ONE jit so host/tunnel round-trips don't pollute the
-    # on-device number.
+    # Secondary metric (BASELINE.json): per-step latency percentiles at the
+    # N=20 horizon, single scenario (the real-time MPC budget). Per-step
+    # costs differ (SCP iteration counts vary with conflict), so this
+    # measures each of LSTEPS closed-loop steps individually: step i's carry
+    # is advanced on host, then a scan re-runs that SAME step REPS times in
+    # one jit (amortizing the tunnel round trip) and the per-step latency is
+    # (t - rtt) / REPS. A k * 1e-20 warm-start perturbation (exact no-op in
+    # f32 arithmetic) defeats loop-invariant hoisting of the repeated body.
     from scp_tpu.scenarios import builders
     from scp_tpu.sim import engine as eng
 
     cfg1, data1 = builders.circle(N_VEH, dtype=jnp.float32)
     cfg1 = cfg1.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
                         merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
-    LSTEPS = 10
+    LSTEPS = 20
+    REPS = 16
 
     @jax.jit
-    def run10(carry):
-        def body(c, _):
-            c2, out = eng.mpc_step(cfg1, data1, c)
-            return c2, out.obj
-        return jax.lax.scan(body, carry, None, length=LSTEPS)
+    def advance(c):
+        c2, out = eng.mpc_step(cfg1, data1, c)
+        return c2, out.obj
+
+    @jax.jit
+    def repeat_step(c):
+        def body(acc, k):
+            c_k = c._replace(
+                u_warm=c.u_warm + k.astype(c.u_warm.dtype) * 1e-20)
+            _, out = eng.mpc_step(cfg1, data1, c_k)
+            return acc + out.obj, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), c.u_warm.dtype),
+                              jnp.arange(REPS))
+        return acc
 
     c1 = eng.init_carry(cfg1, data1)
-    c_out, objs = run10(c1)
-    float(objs.sum())                        # force completion (compile)
-    t0 = time.time()
-    c_out, objs = run10(c1)
-    float(objs.sum())
-    lat = (time.time() - t0 - 0.029) / LSTEPS   # subtract tunnel readback
-    print(f"# p50_step_latency_ms={lat * 1e3:.1f} (1 scenario, hp={HP})",
-          file=sys.stderr)
+    readback(repeat_step(c1))                # compile both programs
+    c_tmp, o = advance(c1)
+    readback(o)
+
+    lats = []
+    c_i = c1
+    for i in range(LSTEPS):
+        readback(c_i.state)                  # sync: advance() is async
+        t0 = time.time()
+        acc = repeat_step(c_i)
+        readback(acc)
+        lats.append((time.time() - t0 - rtt) / REPS)
+        c_i, _ = advance(c_i)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p99 = lats[min(len(lats) - 1, int(0.99 * len(lats)))]
+    print(f"# step_latency_ms p50={p50 * 1e3:.2f} p99={p99 * 1e3:.2f} "
+          f"(1 scenario, hp={HP}, {LSTEPS} steps x {REPS} reps, "
+          f"rtt={rtt * 1e3:.1f}ms)", file=sys.stderr)
 
 
 def main():

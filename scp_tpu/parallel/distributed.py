@@ -9,6 +9,8 @@ collectives inside, and a checkpointing sweep loop.
 from __future__ import annotations
 
 import functools
+import os
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -43,52 +45,107 @@ def global_mesh(n_model: int = 1) -> Mesh:
 
 
 def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
-          checkpoint_path: str | None = None, checkpoint_every: int = 0):
+          checkpoint_path: str | None = None, checkpoint_every: int = 0,
+          resume: bool = True):
     """Run a sharded closed-loop sweep over a scenario batch.
 
     ``data_batch`` leading axis is sharded over the mesh's 'data' axis; the
     returned per-step summary metrics are psum-reduced across all shards
-    (the SCP convergence-voting collective). Optionally checkpoints the scan
-    carry every ``checkpoint_every`` steps via scp_tpu.utils.checkpoint.
+    (the SCP convergence-voting collective).
+
+    Checkpointing: with ``checkpoint_every = k > 0`` the scan runs in
+    k-step chunks and the carry pytree is saved after every chunk (plus a
+    final partial chunk). With ``resume`` (default) an existing checkpoint
+    at ``checkpoint_path`` restarts the sweep from its saved step;
+    continuation is exact — the carry holds the plant states, command
+    history, warm starts and PRNG keys, so a resumed run's final state is
+    bitwise equal to an uninterrupted one (tests/test_parallel.py).
+
+    Returns ``(carries, summary)`` where each summary metric has a leading
+    (n_steps,) axis; on resume, steps before the checkpoint are zero-filled
+    (they were reported by the interrupted run).
     """
     from jax.experimental.shard_map import shard_map
 
     from scp_tpu.sim import engine
     from scp_tpu.utils import checkpoint
 
+    if checkpoint_path and jax.process_count() > 1:
+        raise NotImplementedError(
+            "checkpointing a multi-process sweep needs per-host shard "
+            "checkpoints; pass checkpoint_path=None in distributed jobs")
     n = jax.tree_util.tree_leaves(data_batch)[0].shape[0]
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), n)
 
-    def per_instance(d, key):
-        carry = engine.init_carry(cfg, d, key)
-
-        def step(c, _):
-            c2, out = engine.mpc_step(cfg, d, c)
-            return c2, (out.obj, out.feasible.astype(jnp.float32),
-                        out.scp_iters)
-
-        return jax.lax.scan(step, carry, None, length=n_steps)
-
-    def per_shard(batch, ks):
-        carries, metrics = jax.vmap(per_instance)(batch, ks)
-        objs, feas, iters = metrics
-        summary = (
-            jax.lax.psum(jnp.sum(objs, axis=0), ("data", "model")),
-            jax.lax.psum(jnp.sum(feas, axis=0), ("data", "model")),
-            jax.lax.psum(jnp.sum(iters, axis=0), ("data", "model")),
-        )
-        return carries, summary
-
-    run = jax.jit(shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P("data"), P("data")),
-        out_specs=(P("data"), (P(), P(), P())),
-        check_rep=False))
-
     batch = mesh_lib.shard_batch(data_batch, mesh)
-    keys_sharded = jax.device_put(keys, NamedSharding(mesh, P("data")))
-    carries, summary = run(batch, keys_sharded)
-    if checkpoint_path and checkpoint_every:
-        checkpoint.save(checkpoint_path, carries, n_steps)
+    keys_sharded = mesh_lib.shard_batch(keys, mesh)
+
+    init = jax.jit(shard_map(
+        jax.vmap(lambda d, k: engine.init_carry(cfg, d, k)),
+        mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_rep=False))
+    carries = init(batch, keys_sharded)
+
+    start = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        loaded, start = checkpoint.load(checkpoint_path, carries)
+        carries = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+            loaded)
+
+    def make_run(length: int):
+        def per_instance(d, carry):
+            def step(c, _):
+                c2, out = engine.mpc_step(cfg, d, c)
+                return c2, (out.obj, out.feasible.astype(jnp.float32),
+                            out.scp_iters)
+
+            return jax.lax.scan(step, carry, None, length=length)
+
+        def per_shard(b, cs):
+            carries, metrics = jax.vmap(per_instance)(b, cs)
+            objs, feas, iters = metrics
+            summary = (
+                jax.lax.psum(jnp.sum(objs, axis=0), ("data", "model")),
+                jax.lax.psum(jnp.sum(feas, axis=0), ("data", "model")),
+                jax.lax.psum(jnp.sum(iters, axis=0), ("data", "model")),
+            )
+            return carries, summary
+
+        return jax.jit(shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), (P(), P(), P())),
+            check_rep=False))
+
+    chunk = checkpoint_every if checkpoint_every > 0 else n_steps - start
+    chunks: list[tuple[Any, Any, Any]] = []
+    step = start
+    run_full = None
+    while step < n_steps:
+        k = min(chunk, n_steps - step)
+        if k == chunk:
+            if run_full is None:
+                run_full = make_run(chunk)
+            run = run_full
+        else:
+            run = make_run(k)           # final partial chunk (one recompile)
+        carries, summ = run(batch, carries)
+        step += k
+        if checkpoint_path and checkpoint_every:
+            checkpoint.save(checkpoint_path, carries, step)
+        chunks.append(summ)
+
+    if not chunks:
+        z = jnp.zeros((0,), jnp.float32)
+        summary = (z, z, jnp.zeros((0,), jnp.int32))
+    else:
+        summary = tuple(jnp.concatenate(parts, axis=0)
+                        for parts in zip(*chunks))
+    if start > 0:
+        # pad the resumed summary so the step axis stays (n_steps,)
+        summary = tuple(
+            jnp.concatenate([jnp.zeros((start,) + s.shape[1:], s.dtype), s])
+            for s in summary)
     return carries, summary

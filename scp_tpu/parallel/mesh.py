@@ -30,11 +30,22 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Place a batched pytree with the leading axis sharded over 'data'."""
+    """Place a batched pytree with the leading axis sharded over 'data'.
+
+    Works in multi-process jobs too: when the mesh spans processes, every
+    process passes the same full (host-replicated) array and
+    ``make_array_from_callback`` places only the locally-addressable shards
+    — the standard SPMD ingestion pattern for `jax.distributed` jobs.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        return jax.device_put(x, sharding)
+        if not multiprocess:
+            return jax.device_put(x, sharding)
+        x_np = np.asarray(x)
+        return jax.make_array_from_callback(
+            x_np.shape, sharding, lambda idx: x_np[idx])
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -69,6 +69,67 @@ def test_distributed_sweep_8dev():
     assert np.all(np.isfinite(np.asarray(carries.state)))
 
 
+def test_sweep_checkpoint_resume_equivalence(tmp_path):
+    """Kill a checkpointed sweep after 3 of 6 steps, resume, and land on a
+    final state bitwise equal to the uninterrupted run (VERDICT r1 item 6).
+    """
+    from scp_tpu.parallel import distributed
+    cfg, data = batch_lib.make_batch("circle", 16, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=2, qp_max_iter=8)
+    m = distributed.global_mesh()
+
+    carries_ref, summary_ref = distributed.sweep(cfg, data, m, n_steps=6)
+
+    path = str(tmp_path / "sweep_ckpt.npz")
+    # "interrupted" run: dies after the first 3-step chunk's checkpoint
+    distributed.sweep(cfg, data, m, n_steps=3, checkpoint_path=path,
+                      checkpoint_every=3)
+    import numpy as _np
+    with _np.load(path) as f:
+        assert int(f["step"]) == 3
+    # resume: picks up the step-3 carry and finishes
+    carries, summary = distributed.sweep(cfg, data, m, n_steps=6,
+                                         checkpoint_path=path,
+                                         checkpoint_every=3)
+    for a, b in zip(jax.tree_util.tree_leaves(carries),
+                    jax.tree_util.tree_leaves(carries_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # steps 3..6 of the resumed summary equal the uninterrupted run's
+    for s, s_ref in zip(summary, summary_ref):
+        np.testing.assert_array_equal(np.asarray(s)[3:], np.asarray(s_ref)[3:])
+    with _np.load(path) as f:
+        assert int(f["step"]) == 6
+
+
+def test_sweep_checkpoint_cadence(tmp_path):
+    """`checkpoint_every` is honored: a 5-step sweep with k=2 writes after
+    every chunk (2, 4, 5), not once at the end."""
+    from scp_tpu.parallel import distributed
+    from scp_tpu.utils import checkpoint as ckpt_lib
+
+    cfg, data = batch_lib.make_batch("circle", 8, key=jax.random.PRNGKey(6),
+                                     dtype=jnp.float64, n_veh=2)
+    cfg = cfg.replace(hp=4, hu=4, max_scp_iter=2, qp_max_iter=8)
+    m = distributed.global_mesh()
+    path = str(tmp_path / "cadence.npz")
+
+    saved_steps = []
+    orig_save = ckpt_lib.save
+
+    def spy(p, carry, step):
+        saved_steps.append(step)
+        orig_save(p, carry, step)
+
+    ckpt_lib.save = spy
+    try:
+        distributed.sweep(cfg, data, m, n_steps=5, checkpoint_path=path,
+                          checkpoint_every=2, resume=False)
+    finally:
+        ckpt_lib.save = orig_save
+    assert saved_steps == [2, 4, 5], saved_steps
+
+
 def test_mpc_step_batch_matches_vmap():
     """Two-phase repacked batch step equals plain vmapped mpc_step."""
     cfg, data = batch_lib.make_batch("circle", 12, key=jax.random.PRNGKey(8),
