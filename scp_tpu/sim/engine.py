@@ -282,6 +282,16 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     elif cfg.controller == "side_selection":
         from scp_tpu.solvers import miqp
 
+        if cfg.obst_as_qcqp or cfg.n_obst == 0:
+            rect = {}
+        else:
+            # obstAsQCQP=0: rotated-rectangle obstacle faces with
+            # chord-augmented dimensions (MIQP.py:233-253), built from the
+            # delay-compensated speeds like the reference's state0.
+            normals, dists = miqp.rectangle_obstacle_geometry(
+                data.obstacles, x0[:, 3], data.params.length,
+                data.params.width, cfg.dt)
+            rect = {"obst_normals": normals, "obst_dists": dists}
         ss = miqp.solve_side_selection(
             sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
             carry.u_prev1, u_max, carry.u_warm,
@@ -289,7 +299,7 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
             slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
             constraint_tolerance=cfg.constraint_tolerance,
             n_rounds=cfg.side_selection_rounds,
-            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol)
+            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol, **rect)
         res = scp.SCPResult(
             u=ss.u, feasible=ss.feasible, converged=ss.converged,
             obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
@@ -298,6 +308,35 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     else:
         raise ValueError(f"unknown controller {cfg.controller!r}")
 
+    return step_post(cfg, data, carry, res, aux, key, key_noise)
+
+
+def mpc_step_horizon(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+                     *, axis_name: str = "model",
+                     n_shards: int) -> tuple[SimCarry, StepOutput]:
+    """One MPC step with the SCP solve horizon-sharded over a mesh axis.
+
+    For use INSIDE ``shard_map`` over a mesh that has ``axis_name`` (see
+    scp_tpu/parallel/horizon.py): preprocessing and post-processing are
+    replicated across the axis (per-vehicle work, ~cheap), while the
+    constraint rows — evaluation, linearization, and the IPM's dominant
+    G^T W G formation — run on hp/n_shards horizon steps per shard with
+    psum/pmin/pmax collectives gluing the replicated Newton/merit state.
+    Being a plain per-step function, it composes with ``lax.scan`` for
+    whole-closed-loop sharded execution (one shard_map around the scan).
+    """
+    from scp_tpu.parallel import horizon
+
+    assert cfg.controller == "scp", "horizon sharding targets the SCP path"
+    key, key_noise = jax.random.split(carry.key)
+    problem, aux = controller_pre(cfg, data, carry)
+    local_sys = horizon.shard_system(
+        problem.sys, jax.lax.axis_index(axis_name), n_shards)
+    res = scp.solve_scp(problem._replace(sys=local_sys), carry.u_warm,
+                        max_scp_iter=cfg.max_scp_iter,
+                        axis_name=axis_name,
+                        n_con_total=cfg.n_constraints,
+                        **_scp_kwargs(cfg))
     return step_post(cfg, data, carry, res, aux, key, key_noise)
 
 

@@ -48,10 +48,22 @@ class QPSolution(NamedTuple):
 def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
              x0=None, z0=None, fixed_iters: int | None = None,
              cheap_k: bool = False, refine_steps: int = 0,
-             use_pallas: bool | None = None) -> QPSolution:
+             use_pallas: bool | None = None,
+             axis_name: str | None = None,
+             mg_total: int | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
 
     P: (n, n) PSD, q: (n,), G: (m, n), h: (m,), lb/ub: (n,).
+
+    ``axis_name``: row-sharded SPMD mode for use inside ``shard_map`` — the
+    TPU-native horizon-block parallelism of SURVEY.md §5. Each shard passes
+    its own block of the G rows (its horizon block of the avoidance
+    constraints; ``mg_total`` = global row count); the box rows [I; -I] are
+    replicated on every shard and counted once. The dominant m*n^2 KKT
+    formation then runs on m/n_shards rows per device and one ``psum``
+    rebuilds the (replicated) condensed system; row reductions (mu, step
+    lengths, residual norms) ride ``psum``/``pmin`` collectives, so every
+    shard takes identical Newton steps and the iterate stays replicated.
 
     ``fixed_iters``: run exactly that many Mehrotra iterations with NO
     per-iteration convergence reductions (a ``fori_loop``). Under a big vmap
@@ -68,7 +80,24 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     dtype = P.dtype
     n = q.shape[0]
     mg = h.shape[0]
-    m = mg + 2 * n
+    if axis_name is not None:
+        assert mg_total is not None, "axis_name requires mg_total"
+        assert not use_pallas, "row-sharded mode is XLA-only"
+        use_pallas = False
+    m = (mg_total if axis_name is not None else mg) + 2 * n
+
+    def psum_rows(v):
+        """Sum a G-row-axis contribution across shards (identity unsharded).
+        Box-row contributions must be added OUTSIDE this — they are
+        replicated, not sharded."""
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    def row_dot(a, b):
+        """Global dot over [G-rows; box-rows] vectors in local layout."""
+        return psum_rows(jnp.dot(a[:mg], b[:mg])) + jnp.dot(a[mg:], b[mg:])
+
+    def row_norm_all(v):
+        return jnp.sqrt(row_dot(v, v))
 
     # --- equilibration (box rows have exactly unit norm: untouched) ---
     row_norm = jnp.linalg.norm(G, axis=1)
@@ -89,7 +118,14 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 
     def ghat_tmv(v):
         """[G_s; I; -I]^T @ v."""
-        return (v[None, :mg] @ G_s)[0] + v[mg:mg + n] - v[mg + n:]
+        return psum_rows((v[None, :mg] @ G_s)[0]) \
+            + v[mg:mg + n] - v[mg + n:]
+
+    def row_all(flag):
+        """AND a per-shard bool across shards (shards must not diverge)."""
+        if axis_name is None:
+            return flag
+        return jax.lax.psum(jnp.where(flag, 0, 1), axis_name) == 0
 
     # --- initial point ---
     if x0 is None:
@@ -155,9 +191,10 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         diagonal)."""
         w = z / s
         # dense G rows on the MXU; the [I; -I] box rows contribute exactly
-        # a diagonal, added without materializing them.
-        K = P_s + jnp.matmul(G_s.T * w[None, :mg], G_s,
-                             precision=k_precision)
+        # a diagonal, added without materializing them. Row-sharded mode:
+        # each shard contributes its horizon block; psum rebuilds K.
+        K = P_s + psum_rows(jnp.matmul(G_s.T * w[None, :mg], G_s,
+                                       precision=k_precision))
         K = K + eye_n * (w[mg:mg + n] + w[mg + n:])[None, :]
         dsc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(K), 1e-30))
         K = K * (dsc[:, None] * dsc[None, :]) + reg_rel * eye_n
@@ -197,7 +234,12 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
     def max_step(v, dv):
         # largest alpha in (0, 1] with v + alpha*dv >= (1 - 0.99)*... standard
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-        return jnp.minimum(1.0, 0.99 * jnp.min(ratio))
+        a = jnp.min(ratio)
+        if axis_name is not None:
+            # box rows are replicated on every shard, so the global row min
+            # is just the pmin of each shard's local min.
+            a = jax.lax.pmin(a, axis_name)
+        return jnp.minimum(1.0, 0.99 * a)
 
     def iterate(x, s, z, rp):
         """One Mehrotra predictor-corrector step. Returns updated
@@ -218,7 +260,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
             # golden-oracle tolerances rely on. The recurrence is the f32
             # remedy for w-amplified recomputation noise.
             rp = ghat_mv(x) + s - hhat_s
-        mu = jnp.dot(s, z) / m
+        mu = row_dot(s, z) / m
 
         L, dsc = factor(s, z)
 
@@ -227,7 +269,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         dx_a, ds_a, dz_a = kkt_solve(L, dsc, s, z, rd, rp, rc_aff)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
-        mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
+        mu_aff = row_dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
         sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
 
         # corrector
@@ -243,9 +285,11 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         rp_new = (1.0 - alpha) * rp
         # NaN guard: a failed Cholesky (loss of positive definiteness in low
         # precision) poisons the step — keep the previous iterate and flag
-        # convergence-by-stall instead of propagating NaNs.
-        ok = jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(s_new)) \
-            & jnp.all(jnp.isfinite(z_new))
+        # convergence-by-stall instead of propagating NaNs. Row-sharded:
+        # the flag must agree on every shard or the replicated iterate forks.
+        ok = row_all(jnp.all(jnp.isfinite(x_new))
+                     & jnp.all(jnp.isfinite(s_new))
+                     & jnp.all(jnp.isfinite(z_new)))
         x = jnp.where(ok, x_new, x)
         s = jnp.where(ok, s_new, s)
         z = jnp.where(ok, z_new, z)
@@ -283,9 +327,9 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         def body(state):
             x, s, z, rp, it, _ = state
             x, s, z, rp, mu, rd, ok = iterate(x, s, z, rp)
-            mu_new = jnp.dot(s, z) / m
+            mu_new = row_dot(s, z) / m
             converged_now = ((mu_new < tol)
-                             & (jnp.linalg.norm(rp) / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 10)
+                             & (row_norm_all(rp) / (1.0 + row_norm_all(hhat_s)) < tol * 10)
                              & (jnp.linalg.norm(rd) / (1.0 + jnp.linalg.norm(q_s)) < tol * 10))
             # Stall exit: in f32 the complementarity floor can sit above
             # ``tol``; once mu stops improving meaningfully below a loose
@@ -303,11 +347,11 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
             cond, body, (x, s, z, rp0, jnp.array(0), jnp.array(False)))
 
     # Honest post-hoc convergence certificate (stalls don't count).
-    mu_f = jnp.dot(s, z) / m
-    rp_f = jnp.linalg.norm(ghat_mv(x) + s - hhat_s)
+    mu_f = row_dot(s, z) / m
+    rp_f = row_norm_all(ghat_mv(x) + s - hhat_s)
     rd_f = jnp.linalg.norm(P_s @ x + q_s + ghat_tmv(z))
     conv = (mu_f < tol * 10) \
-        & (rp_f / (1.0 + jnp.linalg.norm(hhat_s)) < tol * 100) \
+        & (rp_f / (1.0 + row_norm_all(hhat_s)) < tol * 100) \
         & (rd_f / (1.0 + jnp.linalg.norm(q_s)) < tol * 100)
 
     obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)

@@ -60,8 +60,19 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               qp_cheap_k: bool = False,
               qp_warm_dual: bool = False,
               qp_correctors: int = 0,
-              compat_q5: bool = True) -> SCPResult:
+              compat_q5: bool = True,
+              axis_name: str | None = None,
+              n_con_total: int | None = None) -> SCPResult:
     """Solve one SCP instance. Shapes are static; vmap for batches.
+
+    ``axis_name``: horizon-block SPMD mode (SURVEY.md §5 "long-context"
+    analog) for use inside ``shard_map``: ``problem.sys`` holds only this
+    shard's horizon block of the constraint system (``parallel.horizon.
+    shard_system``), so linearization, constraint evaluation and the QP's
+    constraint rows all run on hp/n_shards steps per device;
+    ``n_con_total`` is the global avoidance-row count. Violation maxima and
+    feasibility flags are pmax/psum-reduced so the merit/stop logic — and
+    therefore the whole while loop — stays in lockstep across shards.
 
     ``delta_tol`` is the reference's absolute merit-decrease threshold
     (SCP_controller.py:83). In float32 the merit carries ~1e-7 relative
@@ -107,7 +118,16 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                           jnp.full((1,), slack_ub, dtype)])
     slack_col = jnp.full((n_con, 1), -1.0, dtype)
 
+    def reduce_ev(ev):
+        """Global (feasible, max_violation) from a shard-local evaluation."""
+        feas, mv = ev.feasible, ev.max_violation
+        if axis_name is not None:
+            mv = jax.lax.pmax(mv, axis_name)
+            feas = jax.lax.psum(jnp.where(feas, 0, 1), axis_name) == 0
+        return feas, mv
+
     ev0 = con.evaluate(sys, u_init, constraint_tolerance, compat_q5)
+    feas0, viol0 = reduce_ev(ev0)
     obj_init = con.objective(problem.phi0, problem.psi0, problem.gamma0, u_init)
 
     class Carry(NamedTuple):
@@ -125,13 +145,12 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         best: "tuple | None" = None   # (u, obj, viol, feasible) best-merit
 
     m_qp = n_con + 2 * (n + 1)
-    best0 = ((u_init, obj_init, ev0.max_violation, ev0.feasible)
-             if keep_best else None)
-    init = Carry(u=u_init, obj=obj_init, viol=ev0.max_violation,
-                 feasible=ev0.feasible, done=jnp.array(False),
+    best0 = ((u_init, obj_init, viol0, feas0) if keep_best else None)
+    init = Carry(u=u_init, obj=obj_init, viol=viol0,
+                 feasible=feas0, done=jnp.array(False),
                  it=jnp.array(0), qp_iters=jnp.array(0),
                  qp_fails=jnp.array(0),
-                 best_merit=obj_init + slack_weight * ev0.max_violation,
+                 best_merit=obj_init + slack_weight * viol0,
                  stall=jnp.array(0),
                  z=jnp.zeros((m_qp,), dtype),
                  best=best0)
@@ -143,17 +162,21 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
         sol = qp.solve_qp(P_qp, q_qp, G, rhs, lb, ub,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                           z0=c.z if qp_warm_dual else None,
-                          fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k)
+                          fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k,
+                          axis_name=axis_name, mg_total=n_con_total)
         # NaN guard: a diverged inner solve must not poison the iterate.
+        # (sol.x is replicated across horizon shards, so no cross-shard
+        # reduction is needed here.)
         ok = jnp.all(jnp.isfinite(sol.x))
         u_new = jnp.where(ok, sol.x[:n], c.u)
-        ev = con.evaluate(sys, u_new, constraint_tolerance, compat_q5)
+        ev_local = con.evaluate(sys, u_new, constraint_tolerance, compat_q5)
+        feas_new, viol_new = reduce_ev(ev_local)
         obj_new = con.objective(problem.phi0, problem.psi0, problem.gamma0,
                                 u_new)
         # Merit decrease (SCP_controller.py:161): previous-iterate merit minus
         # current merit, both with the exact-penalty violation term.
         merit_prev = c.obj + slack_weight * c.viol
-        merit_new = obj_new + slack_weight * ev.max_violation
+        merit_new = obj_new + slack_weight * viol_new
         delta = merit_prev - merit_new
         thresh = delta_tol + delta_tol_rel * jnp.abs(merit_new)
         small_delta = (jnp.abs(delta) < thresh) | ~ok
@@ -171,15 +194,15 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
             better = merit_new < c.best_merit
             best = tuple(
                 jnp.where(better, new_v, old_v) for new_v, old_v in zip(
-                    (u_new, obj_new, ev.max_violation, ev.feasible), c.best))
+                    (u_new, obj_new, viol_new, feas_new), c.best))
         else:
             best = None
         if single_veh:
             stop = small_delta  # both reference break branches fire
         else:
-            stop = small_delta & (ev.max_violation <= constraint_tolerance)
+            stop = small_delta & (viol_new <= constraint_tolerance)
         return Carry(
-            u=u_new, obj=obj_new, viol=ev.max_violation, feasible=ev.feasible,
+            u=u_new, obj=obj_new, viol=viol_new, feasible=feas_new,
             done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters,
             qp_fails=c.qp_fails + jnp.where(sol.converged, 0, 1),
             best_merit=best_merit, stall=stall, z=sol.z, best=best)
