@@ -115,6 +115,10 @@ class SCPConfig:
     # replacement of the big-M MIQP, see scp_tpu/solvers/miqp.py).
     controller: str = "scp"
     side_selection_rounds: int = 2
+    # obstAsQCQP (Config.py:8, MIQP.py:224-253): True = obstacles as circles
+    # at the safety distance; False = rotated rectangles with chord-augmented
+    # dimensions (side_selection controller only).
+    obst_as_qcqp: bool = True
 
     # ---- derived tick quantities (reference Scenarios.py:204-214) ----
     @property

@@ -45,6 +45,9 @@ class SideSelectionResult(NamedTuple):
     feasible: jax.Array      # true QCQP feasibility of the solution
     converged: jax.Array     # QP converged on the final round
     rounds: jax.Array        # side-reselection rounds used
+    sides_stable: jax.Array  # bool — the reselection fixed point was reached
+    # (the last round's side assignment equals the one its own solution
+    # induces, i.e. another round would solve the identical QP)
 
 
 def select_sides(delta: jax.Array) -> jax.Array:
@@ -61,21 +64,31 @@ def select_sides(delta: jax.Array) -> jax.Array:
     return jax.nn.one_hot(idx, 4, dtype=delta.dtype)
 
 
-def _linear_rows(sys: con.ConstraintSystem, u_ref: jax.Array,
-                 dsafe_pair: jax.Array, dsafe_obst: jax.Array):
-    """Linear separation rows from the side selection at ``u_ref``.
+def _rows_from_selection(sys: con.ConstraintSystem,
+                         sel_pair: jax.Array,       # (P, K) int in [0, 4)
+                         sel_obst: jax.Array,       # (V, O, K) int
+                         dsafe_pair: jax.Array, dsafe_obst: jax.Array,
+                         obst_normals=None, obst_dists=None):
+    """Linear separation rows for an EXPLICIT side assignment.
 
     Returns (G (C, n), h (C,)) for rows ``G u <= h`` enforcing
-    ``n·(p_i - p_j) >= dsafe`` with n chosen per constraint.
+    ``n·(p_i - p_j) >= d`` with the given per-constraint side choice —
+    the convex subproblem of the big-M MIQP once its binaries are fixed
+    (MIQP.py:221-268). Factored out of the heuristic so an enumeration
+    oracle can brute-force all assignments (tests/test_miqp.py).
+
+    ``obst_normals`` (O, 4, 2) / ``obst_dists`` (V, O, 4) switch obstacle
+    rows to rotated rectangle faces (obstAsQCQP=0); default is the four
+    axis-aligned half-planes at the circular safety distance.
     """
     v, k, _, hu = sys.b3.shape
     n = v * hu
-    pos = con.positions(sys, u_ref)
-    eye_v = jnp.eye(v, dtype=u_ref.dtype)
+    dtype = sys.b3.dtype
+    eye_v = jnp.eye(v, dtype=dtype)
+    sides = _SIDES.astype(dtype)
 
-    # vehicle pairs
-    d_pair = pos[sys.pair_i] - pos[sys.pair_j]           # (P, K, 2)
-    nvec_p = select_sides(d_pair) @ _SIDES.astype(u_ref.dtype)  # (P, K, 2)
+    # vehicle pairs: axis-aligned separation (MIQP.py:257-268)
+    nvec_p = sides[sel_pair]                             # (P, K, 2)
     # constraint: n·(p_i - p_j) >= d  =>  -n·(B_i u_i - B_j u_j) <= n·(c_i-c_j) - d
     gi = -jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3i)
     gj = jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3j)
@@ -84,17 +97,104 @@ def _linear_rows(sys: con.ConstraintSystem, u_ref: jax.Array,
     c_diff = sys.const3[sys.pair_i] - sys.const3[sys.pair_j]
     h_pair = jnp.einsum("pky,pky->pk", nvec_p, c_diff) - dsafe_pair[:, None]
 
-    # obstacles
-    d_obst = pos[:, None] - sys.obst_pos[None]           # (V, O, K, 2)
-    nvec_o = select_sides(d_obst) @ _SIDES.astype(u_ref.dtype)
+    # obstacles: axis-aligned circle mode or rotated rectangle faces
+    if obst_normals is None:
+        nvec_o = sides[sel_obst]                         # (V, O, K, 2)
+        d_o = dsafe_obst[:, :, None]                     # (V, O, 1)
+    else:
+        nvec_o = obst_normals.astype(dtype)[
+            jnp.arange(sel_obst.shape[1])[None, :, None], sel_obst]
+        d_o = obst_dists.astype(dtype)[
+            jnp.arange(sel_obst.shape[0])[:, None, None],
+            jnp.arange(sel_obst.shape[1])[None, :, None], sel_obst]
     gv = -jnp.einsum("voky,vkyu->voku", nvec_o, sys.b3)
     g_obst = jnp.einsum("vw,voku->vokwu", eye_v, gv)
     rel_c = sys.const3[:, None] - sys.obst_pos[None]
-    h_obst = jnp.einsum("voky,voky->vok", nvec_o, rel_c) - dsafe_obst[:, :, None]
+    h_obst = jnp.einsum("voky,voky->vok", nvec_o, rel_c) - d_o
 
     G = jnp.concatenate([g_pair.reshape(-1, n), g_obst.reshape(-1, n)], 0)
     h = jnp.concatenate([h_pair.reshape(-1), h_obst.reshape(-1)])
     return G, h
+
+
+def _select_from_trajectory(sys: con.ConstraintSystem, u_ref: jax.Array,
+                            obst_normals=None, obst_dists=None,
+                            obst_sides=None):
+    """Heuristic side assignment from the geometry at ``u_ref``.
+
+    ``obst_sides``: optional subset of side indices the obstacle selection
+    may use (e.g. (2, 3) = lateral faces only) — the candidate restriction
+    of :func:`solve_side_selection`'s first round.
+
+    Side score: ``n_s·delta - d_s`` (signed satisfaction margin of face s).
+    Longitudinal faces (0, 1 — along the vehicle's own track in circle
+    mode, the obstacle-frame ±x' faces in rectangle mode) are selectable
+    only where ALREADY satisfied at ``u_ref``: steering cannot materially
+    move a constant-speed vehicle along-track, so an unsatisfied
+    longitudinal face is un-actionable — an optimal integer assignment uses
+    longitudinal separation exactly on the steps where the vehicle is
+    genuinely behind/ahead, and lateral separation elsewhere (validated
+    against the enumeration oracle, tests/test_miqp.py).
+    """
+    pos = con.positions(sys, u_ref)
+    d_pair = pos[sys.pair_i] - pos[sys.pair_j]           # (P, K, 2)
+    sel_pair = jnp.argmax(select_sides(d_pair), axis=-1)
+    d_obst = pos[:, None] - sys.obst_pos[None]           # (V, O, K, 2)
+    if obst_normals is None:
+        normals = jnp.broadcast_to(_SIDES.astype(d_obst.dtype),
+                                   d_obst.shape[:-1] + (4, 2))
+        dists = jnp.broadcast_to(
+            jnp.sqrt(sys.dsafe2_obst)[:, :, None, None],
+            d_obst.shape[:-1] + (4,))
+    else:
+        normals = jnp.broadcast_to(obst_normals[None, :, None],
+                                   d_obst.shape[:-1] + (4, 2))
+        dists = jnp.broadcast_to(obst_dists[:, :, None],
+                                 d_obst.shape[:-1] + (4,))
+    score = jnp.einsum("...sy,...y->...s", normals, d_obst) - dists
+    neg_inf = jnp.asarray(-jnp.inf, score.dtype)
+    lon = jnp.arange(4) < 2
+    score = jnp.where(lon & (score < 0), neg_inf, score)
+    if obst_sides is not None:
+        mask = jnp.zeros((4,), bool).at[jnp.asarray(obst_sides)].set(True)
+        score = jnp.where(mask, score, neg_inf)
+    sel_obst = jnp.argmax(score, axis=-1)
+    return sel_pair, sel_obst
+
+
+def rectangle_obstacle_geometry(obstacles: jax.Array,   # (O, 6) table
+                                veh_speeds: jax.Array,  # (V,)
+                                veh_length: jax.Array,  # (V,)
+                                veh_width: jax.Array,   # (V,)
+                                dt: float):
+    """Rotated-rectangle obstacle faces of the big-M MIQP (obstAsQCQP=0).
+
+    Reference MIQP.py:233-253: face distances are the obstacle HALF
+    dimensions augmented by the vehicle half-diagonal ``RVeh`` and a
+    sampling-chord term ``l_cord = (v_veh + v_obst) * dt`` (cos(pi/4)/2 of
+    it per face, floored at l_cord/2); face normals are the obstacle's
+    rotated axes (+-(c, s), +-(-s, c)).
+
+    Returns (normals (O, 4, 2), dists (V, O, 4)) ordered to match
+    ``_SIDES`` (+x', -x', +y', -y' in the obstacle frame).
+    """
+    import math
+
+    heading = obstacles[:, 2]
+    c, s = jnp.cos(heading), jnp.sin(heading)
+    normals = jnp.stack([
+        jnp.stack([c, s], -1), jnp.stack([-c, -s], -1),
+        jnp.stack([-s, c], -1), jnp.stack([s, -c], -1)], axis=1)  # (O, 4, 2)
+
+    r_veh = 0.5 * jnp.hypot(veh_length, veh_width)       # (V,)
+    half_l = 0.5 * obstacles[:, 4]
+    half_w = 0.5 * obstacles[:, 5]
+    l_cord = (veh_speeds[:, None] + obstacles[None, :, 3]) * dt  # (V, O)
+    pad = l_cord * (math.cos(math.pi / 4) / 2)
+    l = jnp.maximum(half_l[None] + r_veh[:, None] + pad, l_cord / 2)
+    w = jnp.maximum(half_w[None] + r_veh[:, None] + pad, l_cord / 2)
+    dists = jnp.stack([l, l, w, w], axis=-1)             # (V, O, 4)
+    return normals, dists
 
 
 def rate_cost_matrices(r_weight: jax.Array, u0: jax.Array, hu: int, dtype):
@@ -114,24 +214,13 @@ def rate_cost_matrices(r_weight: jax.Array, u0: jax.Array, hu: int, dtype):
     return jax.vmap(per_veh)(r_weight, u0)
 
 
-def solve_side_selection(sys: con.ConstraintSystem,
-                         ref_points: jax.Array,      # (V, Hp, 2)
-                         q_weight, q_final, r_weight,  # (V,) each
-                         u0: jax.Array,              # (V,) previous commands
-                         u_max: jax.Array,           # (V,) box bounds
-                         u_init: jax.Array,          # (V*Hu,) side-selection seed
-                         *,
-                         du_lim: float,
-                         slack_weight: float = 1e5,
-                         slack_ub: float = 1e8,
-                         constraint_tolerance: float = 2 * 2.1e-3,
-                         n_rounds: int = 2,
-                         qp_max_iter: int = 30,
-                         qp_tol: float = 1e-8) -> SideSelectionResult:
-    """Solve the side-selection convex program for one scenario instance."""
+def _assemble_qp(sys: con.ConstraintSystem, ref_points, q_weight, q_final,
+                 r_weight, u0, u_max, *, du_lim, slack_weight, slack_ub,
+                 dtype):
+    """Fixed (selection-independent) parts of the side-selection QP:
+    objective, box bounds, rate rows, slack column."""
     v, hp, _, hu = sys.b3.shape
     n = v * hu
-    dtype = u_init.dtype
 
     # Tracking + rate objective in condensed space.
     q_diag = jnp.broadcast_to(q_weight[:, None], (v, hp)).astype(dtype)
@@ -158,8 +247,6 @@ def solve_side_selection(sys: con.ConstraintSystem,
 
     n_con = sys.dsafe2_pair.shape[0] * hp + v * sys.obst_pos.shape[0] * hp
     slack_col = jnp.full((n_con, 1), -1.0, dtype)
-    dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
-    dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
 
     # Rate rows: |u_k - u_{k-1}| <= du_lim (first row anchored at u0).
     D = (jnp.eye(hu, dtype=dtype) - jnp.eye(hu, k=-1, dtype=dtype))
@@ -170,10 +257,90 @@ def solve_side_selection(sys: con.ConstraintSystem,
     G_rate = jnp.concatenate(
         [G_rate, jnp.zeros((2 * n, 1), dtype)], 1)
     h_rate = jnp.concatenate([du_lim + rate_rhs0, du_lim - rate_rhs0])
+    return P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate
 
-    def one_round(carry, _):
-        u_ref, _, _, _ = carry
-        G_sep, h_sep = _linear_rows(sys, u_ref, dsafe_pair, dsafe_obst)
+
+def solve_fixed_sides(sys: con.ConstraintSystem, ref_points, q_weight,
+                      q_final, r_weight, u0, u_max,
+                      sel_pair: jax.Array, sel_obst: jax.Array, *,
+                      du_lim: float,
+                      slack_weight: float = 1e5, slack_ub: float = 1e8,
+                      obst_normals=None, obst_dists=None,
+                      qp_max_iter: int = 30, qp_tol: float = 1e-8):
+    """Solve the convex QP for ONE explicit side assignment.
+
+    This is the subproblem a branch-and-bound MIQP solves at each integer
+    leaf; vmapping it over all 4^C assignments gives the exact integer
+    optimum on small instances — the oracle that validates the heuristic
+    selection (tests/test_miqp.py). Returns (u, obj, slack, converged).
+    """
+    v, hp, _, hu = sys.b3.shape
+    n = v * hu
+    dtype = sys.b3.dtype
+    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate = _assemble_qp(
+        sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
+        du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
+        dtype=dtype)
+    dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
+    dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+    G_sep, h_sep = _rows_from_selection(sys, sel_pair, sel_obst, dsafe_pair,
+                                        dsafe_obst, obst_normals, obst_dists)
+    G = jnp.concatenate([jnp.concatenate([G_sep, slack_col], axis=1),
+                         G_rate], axis=0)
+    h = jnp.concatenate([h_sep, h_rate])
+    sol = qp.solve_qp(P_qp, q_qp, G, h, lb, ub,
+                      max_iter=qp_max_iter, tol=qp_tol)
+    return sol.x[:n], sol.obj, sol.x[n], sol.converged
+
+
+def solve_side_selection(sys: con.ConstraintSystem,
+                         ref_points: jax.Array,      # (V, Hp, 2)
+                         q_weight, q_final, r_weight,  # (V,) each
+                         u0: jax.Array,              # (V,) previous commands
+                         u_max: jax.Array,           # (V,) box bounds
+                         u_init: jax.Array,          # (V*Hu,) side-selection seed
+                         *,
+                         du_lim: float,
+                         slack_weight: float = 1e5,
+                         slack_ub: float = 1e8,
+                         constraint_tolerance: float = 2 * 2.1e-3,
+                         n_rounds: int = 2,
+                         multi_candidate: bool = True,
+                         obst_normals=None, obst_dists=None,
+                         qp_max_iter: int = 30,
+                         qp_tol: float = 1e-8) -> SideSelectionResult:
+    """Solve the side-selection convex program for one scenario instance.
+
+    ``obst_normals``/``obst_dists`` (from
+    :func:`rectangle_obstacle_geometry`) switch obstacle avoidance to the
+    reference's rotated-rectangle mode (obstAsQCQP=0, MIQP.py:233-253);
+    default is the circular-QCQP mode (obstAsQCQP=1).
+
+    ``multi_candidate``: the scored selection alone picks an infeasible
+    LONGITUDINAL separation when an obstacle sits nearly dead-ahead (a
+    constant-speed vehicle cannot fall behind its own path — measured
+    against the enumeration oracle in tests/test_miqp.py). The first round
+    therefore solves THREE candidate assignments — unrestricted, lateral
+    faces only, longitudinal faces only — in one vmap and keeps the best
+    (hard-feasible first, then objective), which is exactly the subset of
+    integer leaves a branch-and-bound would probe first. Subsequent rounds
+    are the usual reselection fixed-point iteration.
+    """
+    v, hp, _, hu = sys.b3.shape
+    n = v * hu
+    dtype = u_init.dtype
+
+    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate = _assemble_qp(
+        sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
+        du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
+        dtype=dtype)
+    dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
+    dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+
+    def solve_with_sel(sel_pair, sel_obst, u_ref):
+        G_sep, h_sep = _rows_from_selection(
+            sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
+            obst_normals, obst_dists)
         G = jnp.concatenate([
             jnp.concatenate([G_sep, slack_col], axis=1),
             G_rate,
@@ -184,13 +351,53 @@ def solve_side_selection(sys: con.ConstraintSystem,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0)
         ok = jnp.all(jnp.isfinite(sol.x))
         u_new = jnp.where(ok, sol.x[:n], u_ref)
-        return (u_new, sol.obj, sol.x[n], sol.converged & ok), None
+        return u_new, sol.obj, sol.x[n], sol.converged & ok
 
-    init = (u_init, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
-            jnp.array(False))
-    (u, obj, slack, conv), _ = jax.lax.scan(one_round, init, None,
-                                            length=n_rounds)
+    def one_round(carry, _):
+        u_ref, _, _, _ = carry
+        sel_pair, sel_obst = _select_from_trajectory(
+            sys, u_ref, obst_normals, obst_dists)
+        out = solve_with_sel(sel_pair, sel_obst, u_ref)
+        return out, (sel_pair, sel_obst)
+
+    use_candidates = multi_candidate and sys.obst_pos.shape[0] > 0
+    if use_candidates:
+        sel_pair0, sel_full = _select_from_trajectory(
+            sys, u_init, obst_normals, obst_dists)
+        _, sel_lat = _select_from_trajectory(
+            sys, u_init, obst_normals, obst_dists, obst_sides=(2, 3))
+        _, sel_lon = _select_from_trajectory(
+            sys, u_init, obst_normals, obst_dists, obst_sides=(0, 1))
+        cand_obst = jnp.stack([sel_full, sel_lat, sel_lon])
+        u_c, obj_c, slack_c, conv_c = jax.vmap(
+            lambda so: solve_with_sel(sel_pair0, so, u_init))(cand_obst)
+        hard_c = slack_c < jnp.asarray(1e-6, dtype)
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        pick = jnp.argmin(jnp.where(hard_c, obj_c, big * 0.5 + slack_c))
+        init = (u_c[pick], obj_c[pick], slack_c[pick], conv_c[pick])
+        sel0 = (sel_pair0, cand_obst[pick])
+        scan_rounds = n_rounds - 1
+    else:
+        init = (u_init, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0.0, dtype), jnp.array(False))
+        sel0 = _select_from_trajectory(sys, u_init, obst_normals, obst_dists)
+        scan_rounds = n_rounds
+
+    if scan_rounds > 0:
+        (u, obj, slack, conv), sels = jax.lax.scan(one_round, init, None,
+                                                   length=scan_rounds)
+        sel_last = (sels[0][-1], sels[1][-1])
+    else:
+        u, obj, slack, conv = init
+        sel_last = sel0
+    # Fixed-point check: the final solution's induced selection equals the
+    # one the last round solved with — another round would change nothing.
+    sel_pair_f, sel_obst_f = _select_from_trajectory(
+        sys, u, obst_normals, obst_dists)
+    sides_stable = (jnp.all(sel_last[0] == sel_pair_f)
+                    & jnp.all(sel_last[1] == sel_obst_f))
     ev = con.evaluate(sys, u, constraint_tolerance, compat_q5=False)
     return SideSelectionResult(u=u, obj=obj, slack=slack,
                                feasible=ev.feasible, converged=conv,
-                               rounds=jnp.asarray(n_rounds))
+                               rounds=jnp.asarray(n_rounds),
+                               sides_stable=sides_stable)

@@ -1,20 +1,28 @@
 """Side-selection (MIQP replacement) controller behavior tests.
 
-There is no runnable integer-programming oracle in this environment (the
-reference MIQP needs Gurobi, and its index mapping is corrupted — SURVEY.md
-Q7), so these tests check the replacement's contract: hard feasibility of the
-selected-side convex program and collision-free predicted trajectories on
-scenarios where the MIQP formulation applies.
+The reference MIQP needs Gurobi (absent) and its index mapping is corrupted
+(SURVEY.md Q7), so the integer-optimality oracle here is built from the
+FORMULATION instead: on tiny instances every binary side assignment is
+enumerated and its convex leaf QP solved exactly (miqp.solve_fixed_sides) —
+brute-force branch-and-bound. The heuristic selection must land within
+tolerance of the enumerated optimum (VERDICT r1 item 2). Closed-loop runs
+pin the controller="side_selection" path, including the rectangle-obstacle
+mode (obstAsQCQP=0, MIQP.py:233-253).
 """
+import itertools
 import sys
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 sys.path.insert(0, "tests")
 from test_constraints_golden import build_ref_controller, build_my_system  # noqa: E402
 
+from scp_tpu.config import SCPConfig  # noqa: E402
 from scp_tpu.ops import constraints as con  # noqa: E402
+from scp_tpu.scenarios import builders  # noqa: E402
+from scp_tpu.sim import engine  # noqa: E402
 from scp_tpu.solvers import miqp  # noqa: E402
 
 
@@ -51,6 +59,163 @@ def test_frog_obstacle_avoidance():
         if hasattr(sc, "config") else float(jnp.max(c_obst)) <= 2 * 2.1e-3
     # control respects bounds
     assert float(jnp.max(jnp.abs(res.u))) <= sc.mechanicalSteeringLimit + 1e-9
+
+
+def _tiny_instance(obst, hp, n_veh=1, starts=None, headings=None,
+                   lines=None):
+    """A hand-built small scenario whose side assignments can be enumerated."""
+    cfg = SCPConfig(n_veh=n_veh, n_obst=len(obst), hp=hp, hu=hp,
+                    n_ref_points=2, dsafe_extra=0.0)
+    starts = starts or [(-8.0, 0.0)]
+    headings = headings or [0.0] * n_veh
+    lines = lines or [[[-100.0, 0.0], [100.0, 0.0]]]
+    obst_arr = (np.asarray(obst, float).reshape(-1, 6) if obst
+                else np.zeros((0, 6)))
+    data = builders._make_scenario_data(
+        starts, headings, [4.0] * n_veh, lines, obst_arr, 2, cfg.dt,
+        jnp.float64)
+    carry = engine.init_carry(cfg, data)
+    _, aux = engine.controller_pre(cfg, data, carry)
+    sys_, _, ref_pts, _, _ = aux
+    return cfg, data, sys_, ref_pts
+
+
+def _enumerated_best(cfg, data, sys_, ref_pts, u_max, du_lim):
+    """Exact integer optimum by brute force over all side assignments."""
+    p = cfg.n_pairs
+    o, v, hp = cfg.n_obst, cfg.n_veh, cfg.hp
+    nsel = p * hp + v * o * hp
+    combos = np.array(list(itertools.product(range(4), repeat=nsel)))
+    nc = combos.shape[0]
+    sp = jnp.asarray(combos[:, :p * hp].reshape(nc, p, hp))
+    so = jnp.asarray(combos[:, p * hp:].reshape(nc, v, o, hp))
+    um = jnp.full((v,), u_max)
+    solve = jax.vmap(lambda a, b: miqp.solve_fixed_sides(
+        sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
+        data.u0, um, a, b, du_lim=du_lim))
+    _, obj_all, slack_all, conv_all = jax.jit(solve)(sp, so)
+    hard = (np.asarray(slack_all) < 1e-6) & np.asarray(conv_all)
+    assert hard.any(), "oracle: no hard-feasible side assignment"
+    objs = np.where(hard, np.asarray(obj_all), np.inf)
+    return float(objs.min())
+
+
+def _heuristic(cfg, data, sys_, ref_pts, u_max, du_lim):
+    um = jnp.full((cfg.n_veh,), u_max)
+    return miqp.solve_side_selection(
+        sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
+        data.u0, um, jnp.zeros((cfg.n_veh * cfg.hp,)), du_lim=du_lim,
+        n_rounds=2)
+
+
+# Obstacle lateral offsets covering unambiguous, near-ambiguous, and the
+# dead-ahead geometry where a naive dominant-axis pick selects an
+# un-actionable longitudinal side (calibrated gaps: 7e-8 .. 1.2e-5).
+_OBST_CASES = [0.6, 0.4, 0.3, 0.0]
+
+
+def test_side_selection_matches_enumerated_optimum_obstacles():
+    for y_off in _OBST_CASES:
+        cfg, data, sys_, ref_pts = _tiny_instance(
+            [[-3.4, y_off, 0.0, 0.0, 0.4, 0.4]], hp=4)
+        res = _heuristic(cfg, data, sys_, ref_pts, u_max=0.3, du_lim=0.6)
+        best = _enumerated_best(cfg, data, sys_, ref_pts, u_max=0.3,
+                                du_lim=0.6)
+        assert float(res.slack) < 1e-6, f"y={y_off}: heuristic not hard-feasible"
+        rel_gap = (float(res.obj) - best) / abs(best)
+        assert rel_gap < 1e-4, f"y={y_off}: rel gap {rel_gap:.3e} vs optimum"
+
+
+def test_side_selection_matches_enumerated_optimum_vehicle_pair():
+    cfg, data, sys_, ref_pts = _tiny_instance(
+        [], hp=4, n_veh=2,
+        starts=[(-7.0, 0.6), (3.0, -0.6)], headings=[0.0, np.pi],
+        lines=[[[-100.0, 0.6], [100.0, 0.6]],
+               [[100.0, -0.6], [-100.0, -0.6]]])
+    res = _heuristic(cfg, data, sys_, ref_pts, u_max=0.4, du_lim=0.8)
+    best = _enumerated_best(cfg, data, sys_, ref_pts, u_max=0.4, du_lim=0.8)
+    assert float(res.slack) < 1e-6
+    rel_gap = (float(res.obj) - best) / abs(best)
+    assert rel_gap < 1e-4, f"pair rel gap {rel_gap:.3e} vs optimum"
+
+
+def test_closed_loop_side_selection_frog():
+    """Closed-loop frog run with controller='side_selection' stays feasible
+    (VERDICT r1 item 2: the replacement was never run closed-loop)."""
+    import functools
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(controller="side_selection", qp_max_iter=25)
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data, n_steps=8))
+    carry, out = sim()
+    feas = np.asarray(out.feasible)
+    assert feas.all(), f"infeasible steps: {np.nonzero(~feas)[0]}"
+    assert np.isfinite(np.asarray(carry.state)).all()
+    # the vehicle makes forward progress through the obstacle field
+    assert float(carry.state[0, 0]) > float(data.x0[0, 0]) + 8.0
+
+
+def test_closed_loop_side_selection_rectangle_mode():
+    """obstAsQCQP=0: rotated-rectangle obstacle faces, closed loop."""
+    import functools
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(controller="side_selection", obst_as_qcqp=False,
+                      qp_max_iter=25)
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data, n_steps=6))
+    carry, out = sim()
+    assert np.isfinite(np.asarray(carry.state)).all()
+    # rectangle faces are at least as permissive as the circumscribing
+    # circle only laterally; check true rectangle separation per step:
+    # |R^T (p - c)| outside the (half_l, half_w) + RVeh box at every tick.
+    states = np.asarray(out.states)          # (steps, tps, V, NX)
+    obst = np.asarray(data.obstacles)
+    r_veh = 0.5 * np.hypot(float(data.params.length[0]),
+                           float(data.params.width[0]))
+    t_of = (np.arange(states.shape[0])[:, None]
+            * cfg.ticks_per_sim + np.arange(1, cfg.ticks_per_sim + 1)[None]
+            ) * cfg.tick_length                       # (steps, tps)
+    pos = states[:, :, 0, :2]                          # (steps, tps, 2)
+    ok = np.zeros(pos.shape[:2], bool)
+    margin = np.full(pos.shape[:2], np.inf)
+    for o in obst:
+        c0 = o[:2]
+        vel = o[3] * np.array([np.cos(o[2]), np.sin(o[2])])
+        centers = c0[None, None] + t_of[..., None] * vel[None, None]
+        d = pos - centers
+        cth, sth = np.cos(o[2]), np.sin(o[2])
+        dx = np.abs(cth * d[..., 0] + sth * d[..., 1])
+        dy = np.abs(-sth * d[..., 0] + cth * d[..., 1])
+        out_box = np.maximum(dx - (o[4] / 2 + r_veh),
+                             dy - (o[5] / 2 + r_veh))
+        margin = np.minimum(margin, out_box)
+    assert margin.min() > 0.0, f"rectangle overlap, margin {margin.min():.3f}"
+
+
+def test_side_selection_fixed_point_reached():
+    """The reselection iteration reports its fixed point (VERDICT weak 4)."""
+    cfg, data, sys_, ref_pts = _tiny_instance(
+        [[-3.4, 0.4, 0.0, 0.0, 0.4, 0.4]], hp=4)
+    res = _heuristic(cfg, data, sys_, ref_pts, u_max=0.3, du_lim=0.6)
+    assert bool(res.sides_stable)
+
+
+def test_rectangle_geometry_matches_reference_formula():
+    """rectangle_obstacle_geometry vs MIQP.py:233-253 by hand."""
+    import math
+    obst = jnp.array([[1.0, 2.0, 0.3, 1.5, 4.0, 2.0]])
+    normals, dists = miqp.rectangle_obstacle_geometry(
+        obst, jnp.array([4.0]), jnp.array([0.98]), jnp.array([0.88]),
+        dt=0.4)
+    c, s = math.cos(0.3), math.sin(0.3)
+    np.testing.assert_allclose(np.asarray(normals[0]),
+                               [[c, s], [-c, -s], [-s, c], [s, -c]],
+                               atol=1e-12)
+    r_veh = 0.5 * math.hypot(0.98, 0.88)
+    l_cord = (4.0 + 1.5) * 0.4
+    pad = l_cord * math.cos(math.pi / 4) / 2
+    l = max(4.0 / 2 + r_veh + pad, l_cord / 2)
+    w = max(2.0 / 2 + r_veh + pad, l_cord / 2)
+    np.testing.assert_allclose(np.asarray(dists[0, 0]), [l, l, w, w],
+                               rtol=1e-12)
 
 
 def test_circle_vehicle_separation():
