@@ -39,6 +39,8 @@ def _build(args, dtype):
     overrides = {}
     if getattr(args, "controller", "scp") != "scp":
         overrides["controller"] = args.controller
+    if getattr(args, "rect_obstacles", False):
+        overrides["obst_as_qcqp"] = False
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if args.noise:
@@ -72,10 +74,11 @@ def cmd_run(args):
         carry, out = jax.vmap(lambda k: sim(data, key=k))(keys)
     else:
         carry, out = sim(data, key=jax.random.PRNGKey(args.seed))
-    jax.block_until_ready(carry)
+    # block_until_ready does not sync through the TPU tunnel (CLAUDE.md) —
+    # force a scalar readback to time honestly.
+    feas_frac = float(jnp.mean(out.feasible))
     wall = time.time() - t0
 
-    feas = np.asarray(out.feasible)
     summary = {
         "scenario": args.scenario,
         "n_veh": cfg.n_veh,
@@ -83,10 +86,12 @@ def cmd_run(args):
         "mc": args.mc,
         "wall_s": round(wall, 3),
         "steps_per_sec": round(n_steps * max(args.mc, 1) / wall, 2),
-        "feasible_frac": float(feas.mean()),
+        "feasible_frac": feas_frac,
         "mean_scp_iters": float(np.asarray(out.scp_iters).mean()),
         "mean_obj": float(np.asarray(out.obj).mean()),
         "final_max_violation": float(np.asarray(out.max_violation).max()),
+        "clamp_mag_events": int(np.asarray(out.clamp_mag_events).sum()),
+        "clamp_rate_events": int(np.asarray(out.clamp_rate_events).sum()),
     }
     print(json.dumps(summary, indent=2))
 
@@ -105,6 +110,50 @@ def cmd_run(args):
         arrays = sim_outputs_to_arrays(cfg, out)
         paths = plot.render_video_frames(cfg, data, arrays, args.frames)
         print(f"wrote {len(paths)} frames to {args.frames}", file=sys.stderr)
+
+
+def cmd_sweep(args):
+    """Sharded scenario-batch sweep with periodic checkpointing — the
+    BASELINE.json config-4/5 workflow (parallel/distributed.sweep)."""
+    from scp_tpu.parallel import distributed
+    from scp_tpu.scenarios import batch as batch_lib
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg, data = batch_lib.make_batch(
+        args.scenario, args.batch, key=jax.random.PRNGKey(args.seed),
+        dtype=dtype, **({"n_veh": args.n_veh} if args.n_veh
+                        and args.scenario != "frog" else {}))
+    overrides = {}
+    if args.hp:
+        overrides.update(hp=args.hp, hu=args.hp)
+    if dtype == jnp.float32:
+        overrides.setdefault("delta_tol_rel", 1e-4)
+        overrides.setdefault("u_step_tol", 1e-5)
+        overrides.setdefault("qp_tol", 1e-6)
+        overrides.setdefault("qp_fixed_iters", 14)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    n_steps = args.steps or cfg.n_sim
+    mesh = distributed.global_mesh(n_model=args.n_model)
+    t0 = time.time()
+    carries, (objs, feas, iters) = distributed.sweep(
+        cfg, data, mesh, n_steps=n_steps,
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every)
+    summary = {
+        "scenario": args.scenario, "batch": args.batch, "steps": n_steps,
+        "mesh": dict(mesh.shape), "wall_s": round(time.time() - t0, 3),
+        "feasible_frac": float(np.asarray(feas).sum()
+                               / (args.batch * n_steps)),
+        "mean_obj": float(np.asarray(objs).sum() / (args.batch * n_steps)),
+        "mean_scp_iters": float(np.asarray(iters).sum()
+                                / (args.batch * n_steps)),
+    }
+    print(json.dumps(summary, indent=2))
 
 
 def cmd_bench(args):
@@ -132,6 +181,9 @@ def main(argv=None):
     pr.add_argument("--noise", action="store_true")
     pr.add_argument("--controller", choices=["scp", "side_selection"],
                     default="scp")
+    pr.add_argument("--rect-obstacles", action="store_true",
+                    help="obstAsQCQP=0: rotated-rectangle obstacle faces "
+                         "(side_selection controller)")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--f64", action="store_true")
     pr.add_argument("--cpu", action="store_true")
@@ -139,6 +191,22 @@ def main(argv=None):
     pr.add_argument("--export-json", default="")
     pr.add_argument("--frames", default="")
     pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("sweep", help="sharded batch sweep w/ checkpoints")
+    ps.add_argument("--scenario", choices=["circle", "frog", "parallel"],
+                    default="circle")
+    ps.add_argument("--batch", type=int, default=256)
+    ps.add_argument("--n-veh", type=int, default=0)
+    ps.add_argument("--steps", type=int, default=0)
+    ps.add_argument("--hp", type=int, default=0)
+    ps.add_argument("--n-model", type=int, default=1,
+                    help="mesh model-axis size (1 = pure data parallel)")
+    ps.add_argument("--checkpoint", default="")
+    ps.add_argument("--checkpoint-every", type=int, default=0)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--f64", action="store_true")
+    ps.add_argument("--cpu", action="store_true")
+    ps.set_defaults(fn=cmd_sweep)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one chip)")
     pb.add_argument("--batch", type=int, default=512)

@@ -52,6 +52,10 @@ class SimCarry(NamedTuple):
     u_warm: jax.Array   # (V*HP,) SCP warm start = previous solution
     step: jax.Array     # scalar int step index
     key: jax.Array      # PRNG key for plant noise
+    state_meas: jax.Array | None = None
+    # (V, NX) the MEASURED state: the plant state ticks_delay_x ticks in the
+    # past (main.py:101-103 tick_of_measurement). Equals ``state`` when
+    # delay_x == 0 (all shipped scenarios); None defaults to ``state``.
 
 
 class StepOutput(NamedTuple):
@@ -69,6 +73,13 @@ class StepOutput(NamedTuple):
     qp_iters: jax.Array
     pred_obj: jax.Array       # evaluateInOriginalProblem objective
     pred_feasible: jax.Array  # trajectory-distance feasibility
+    delay_traj: jax.Array     # (10, NX, V) delay-compensation rollout
+    # (MPC_delay_compensation_trajectory, MPC_Iter.py:31-33)
+    clamp_mag_events: jax.Array   # steering MAGNITUDE audit count this step
+    clamp_rate_events: jax.Array  # steering RATE audit count this step
+    # (|U| > uMax + 1e-3 / |dU| > duLim + 1e-3 on the RAW prediction before
+    # clamping — the reference's warning printout, main.py:144-161, minus
+    # its Q8 always-true flag bug)
 
 
 def dynamic_steering_limit(cfg: SCPConfig, data: ScenarioData,
@@ -181,11 +192,20 @@ def controller_pre(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
     """Controller preprocessing: IterClass + MPCclass (delay compensation,
     reference sampling, obstacle forecast, discretize, condense).
 
-    Returns (problem, aux) where ``aux = (sys_, u_max, ref_pts, x0)``.
+    Returns (problem, aux) where ``aux = (sys_, u_max, ref_pts, x0, obst_pos,
+    delay_traj)``.
     """
+    # The steering limit uses the CURRENT state (main.py:106-110 reads the
+    # path at tick_now); delay compensation starts from the MEASURED state,
+    # ticks_delay_x in the past (main.py:101-103, 113-117).
     u_max = dynamic_steering_limit(cfg, data, carry.state)
+    if cfg.ticks_delay_x > 0:
+        assert cfg.ticks_delay_x < cfg.ticks_per_sim, (
+            f"delay_x spans {cfg.ticks_delay_x} ticks >= one MPC step "
+            f"({cfg.ticks_per_sim}); the carry holds one step of history")
+    x_meas = carry.state if carry.state_meas is None else carry.state_meas
 
-    x0, _ = delay_compensate(cfg, data, carry.state, carry.u_prev1)
+    x0, delay_traj = delay_compensate(cfg, data, x_meas, carry.u_prev1)
     step_sizes = x0[:, 3] * cfg.dt
     ref_pts = reference_path.sample_reference_batch(
         data.ref_points, data.ref_valid, x0[:, :2], step_sizes, cfg.hp, True)
@@ -203,7 +223,7 @@ def controller_pre(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
                            cfg.dsafe_extra, cfg.hp, cfg.hu)
     problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
                              gamma0=cm.gamma0)
-    return problem, (sys_, u_max, ref_pts, x0, obst_pos)
+    return problem, (sys_, u_max, ref_pts, x0, obst_pos, delay_traj)
 
 
 def _scp_kwargs(cfg: SCPConfig) -> dict:
@@ -227,10 +247,18 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
 def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
               res, aux, key, key_noise) -> tuple[SimCarry, StepOutput]:
     """Post-solve half of the MPC step: clamps, plant rollout, metrics."""
-    sys_, u_max, ref_pts, x0, obst_pos = aux
+    sys_, u_max, ref_pts, x0, obst_pos, delay_traj = aux
     traj_pred, U_raw = scp.forward_u(sys_, res.u)
     U = clamp_controls(cfg, U_raw, carry.u_prev1, u_max)
     u_cmd = U[0]
+
+    # Steering-limit audit on the RAW prediction (main.py:144-161): counts of
+    # magnitude/rate excursions the clamps will remove, as diagnostics
+    # (the reference prints warnings; its summary flag is Q8-broken).
+    audit_eps = 1e-3
+    mag_events = jnp.sum(jnp.abs(U_raw) > u_max[None, :] + audit_eps)
+    dU_raw = jnp.diff(U_raw, axis=0, prepend=carry.u_prev1[None, :])
+    rate_events = jnp.sum(jnp.abs(dU_raw) > cfg.du_lim + audit_eps)
 
     states = rollout_plant(cfg, data, carry.state, carry.u_prev2,
                            carry.u_prev1, key_noise)
@@ -250,6 +278,12 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     pred_feasible = (jnp.max(ci_v, initial=-jnp.inf) <= cfg.constraint_tolerance) & \
                     (jnp.max(ci_o, initial=-jnp.inf) <= cfg.constraint_tolerance)
 
+    if carry.state_meas is None:
+        state_meas = None
+    else:
+        # the state ticks_delay_x in the past at the NEXT step boundary
+        # (states[j] is the plant state at tick j+1 of this step)
+        state_meas = states[cfg.ticks_per_sim - 1 - cfg.ticks_delay_x]
     new_carry = SimCarry(
         state=states[-1],
         u_prev2=carry.u_prev1,
@@ -257,6 +291,7 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         u_warm=res.u,
         step=carry.step + 1,
         key=key,
+        state_meas=state_meas,
     )
     out = StepOutput(
         states=states, u_applied=u_cmd, u_pred=U, traj_pred=traj_pred,
@@ -264,7 +299,8 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         feasible=res.feasible, converged=res.converged, obj=res.obj,
         max_violation=res.max_violation, scp_iters=res.iters,
         qp_iters=res.qp_iters, pred_obj=pred_obj,
-        pred_feasible=pred_feasible)
+        pred_feasible=pred_feasible, delay_traj=delay_traj,
+        clamp_mag_events=mag_events, clamp_rate_events=rate_events)
     return new_carry, out
 
 
@@ -273,7 +309,7 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     """One complete MPC step (controller + plant)."""
     key, key_noise = jax.random.split(carry.key)
     problem, aux = controller_pre(cfg, data, carry)
-    sys_, u_max, ref_pts, x0, obst_pos = aux
+    sys_, u_max, ref_pts, x0, obst_pos, delay_traj = aux
 
     if cfg.controller == "scp":
         res = scp.solve_scp(problem, carry.u_warm,
@@ -380,6 +416,8 @@ def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:
         u_warm=jnp.zeros((cfg.n_veh * cfg.hp,), data.x0.dtype),
         step=jnp.array(0),
         key=key,
+        # tick_of_measurement = max(0, 0 - ticks_delay_x) -> initial state
+        state_meas=data.x0,
     )
 
 

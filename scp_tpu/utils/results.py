@@ -49,15 +49,37 @@ def sim_outputs_to_arrays(cfg, out) -> dict:
         "qp_iters": np.asarray(out.qp_iters),
         "pred_obj": np.asarray(out.pred_obj),
         "pred_feasible": np.asarray(out.pred_feasible),
+        "delay_traj": np.asarray(out.delay_traj),    # (Nsim, 10, NX, V)
+        "clamp_mag_events": np.asarray(out.clamp_mag_events),
+        "clamp_rate_events": np.asarray(out.clamp_rate_events),
     }
 
 
-def export_reference_json(path: str, cfg, data, out) -> None:
-    """Export in the reference's result schema (main.py:213-224 keys).
+def obstacle_path_full_res(cfg, data) -> np.ndarray:
+    """Constant-velocity obstacle paths at tick resolution (main.py:68-75).
 
-    Full-resolution paths are reconstructed from the per-step tick states;
-    entries the engine does not track (delay-compensation trajectories per
-    step) are filled with the prediction states.
+    Returns (nObst, 6, ticks_total + 1) matching ``obstaclePathFullRes``
+    (x, y advanced; heading/speed/dims constant).
+    """
+    obst = np.asarray(data.obstacles, float)        # (O, 6)
+    ticks = cfg.ticks_total
+    path = np.repeat(obst[:, :, None], ticks + 1, axis=2)
+    t = np.arange(ticks + 1) * cfg.tick_length
+    vel = obst[:, 3:4] * np.stack([np.cos(obst[:, 2:3]), np.sin(obst[:, 2:3])],
+                                  axis=0)           # (2, O, 1)
+    path[:, 0, :] += t[None, :] * vel[0]
+    path[:, 1, :] += t[None, :] * vel[1]
+    return path
+
+
+def export_reference_json(path: str, cfg, data, out) -> None:
+    """Export in the reference's result schema — ALL 11 keys of the
+    main.py:213-224 dump, so the reference's draw_video.py can consume runs.
+
+    Full-resolution vehicle/obstacle paths are reconstructed from per-step
+    tick states / constant-velocity extrapolation; the per-step
+    delay-compensation trajectories come from StepOutput.delay_traj
+    (MPC_Iter.py:31-33 / main.py:98,213).
     """
     arrays = sim_outputs_to_arrays(cfg, out)
     n_sim, tps, n_veh, nx = arrays["states"].shape
@@ -71,10 +93,14 @@ def export_reference_json(path: str, cfg, data, out) -> None:
 
     payload = {
         "vehiclePathFullRes": veh_path.tolist(),
+        "obstaclePathFullRes": obstacle_path_full_res(cfg, data).tolist(),
         "controlPathFullRes": ctrl_path.tolist(),
         "controlPredictions": arrays["u_pred"].transpose(1, 2, 0).tolist(),
         "trajectoryPredictions": arrays["traj_pred"].transpose(1, 2, 3, 0).tolist(),
+        "initial_pos": arrays["x0_pred"][:, :, :2].transpose(2, 1, 0).tolist(),
         "ReferenceTrajectory": arrays["ref_points"].transpose(2, 3, 1, 0).tolist(),
+        "MPC_delay_compensation_trajectory":
+            arrays["delay_traj"].transpose(1, 2, 3, 0).tolist(),
         "evaluations_obj_value": arrays["pred_obj"].tolist(),
         "stepTime": [0.0] * n_sim,
         "controllerRuntime": [0.0] * n_sim,

@@ -39,10 +39,53 @@ def obstacle_position(obstacles: np.ndarray, t: float) -> np.ndarray:
     return obstacles[:, [OBST_X, OBST_Y]] + t * vel
 
 
+def predicted_obstacle_centers(cfg, obstacles: np.ndarray,
+                               step: int) -> np.ndarray:
+    """Obstacle centers over the prediction horizon of ``step`` —
+    host-side mirror of ``engine.predict_obstacles``. Returns (O, HP, 2)."""
+    heading = obstacles[:, OBST_HEADING]
+    vel = obstacles[:, OBST_SPEED, None] * np.stack(
+        [np.cos(heading), np.sin(heading)], axis=-1)
+    t_meas = max((step * cfg.ticks_per_sim - cfg.ticks_delay_x)
+                 * cfg.tick_length, 0.0)
+    base = obstacles[:, [OBST_X, OBST_Y]] + t_meas * vel
+    horizon = np.arange(1, cfg.hp + 1) * cfg.dt + cfg.delay_comp_time
+    return base[:, None, :] + horizon[None, :, None] * vel[:, None, :]
+
+
+def violation_flags(cfg, data, arrays: dict, step: int) -> np.ndarray:
+    """(V, HP) bools: vehicle v's predicted step k violates some avoidance
+    constraint — the reference's red-star condition (plotOnline.py:105-117,
+    built from max constraint values per vehicle/step)."""
+    pos = arrays["traj_pred"][step].transpose(2, 0, 1)   # (V, HP, 2)
+    n_veh = pos.shape[0]
+    tol = cfg.constraint_tolerance
+    extra = cfg.dsafe_extra
+    viol = np.zeros((n_veh, cfg.hp), bool)
+    dv = np.asarray(data.dsafe_veh)
+    for v in range(n_veh):
+        for j in range(n_veh):
+            if j == v:
+                continue
+            d2 = ((pos[v] - pos[j]) ** 2).sum(-1)
+            viol[v] |= (dv[v, j] + extra) ** 2 - d2 > tol
+    obstacles = np.asarray(data.obstacles)
+    if len(obstacles):
+        obst_k = predicted_obstacle_centers(cfg, obstacles, step)
+        do = np.asarray(data.dsafe_obst)
+        for v in range(n_veh):
+            d2 = ((pos[v][None] - obst_k) ** 2).sum(-1)  # (O, HP)
+            viol[v] |= ((do[v][:, None] + extra) ** 2 - d2 > tol).any(0)
+    return viol
+
+
 def plot_step(ax, cfg, data, arrays: dict, step: int):
     """Draw one simulation step into a matplotlib axes.
 
-    arrays: output of ``utils.results.sim_outputs_to_arrays``.
+    arrays: output of ``utils.results.sim_outputs_to_arrays``. Matches the
+    reference view (plotOnline.py:70-117): references, predictions, the
+    delay-compensation spur, vehicle/obstacle rectangles, and red stars on
+    predicted steps that violate an avoidance constraint.
     """
     states = arrays["states"]          # (Nsim, tps, V, NX)
     traj_pred = arrays["traj_pred"]    # (Nsim, HP, NY, V)
@@ -57,6 +100,10 @@ def plot_step(ax, cfg, data, arrays: dict, step: int):
         ax.plot(past[:, v, 0], past[:, v, 1], "-", lw=1, alpha=0.6)
         ax.plot(refs[step, v, :, 0], refs[step, v, :, 1], ".", ms=3)
         ax.plot(traj_pred[step, :, 0, v], traj_pred[step, :, 1, v], "--", lw=1)
+        if "delay_traj" in arrays:
+            # delay-compensation spur (plotOnline.py:88-89)
+            dtr = arrays["delay_traj"][step]             # (10, NX, V)
+            ax.plot(dtr[:, 0, v], dtr[:, 1, v], "-", lw=2)
         x, y, ang = states[step, -1, v, 0], states[step, -1, v, 1], states[step, -1, v, 2]
         rect = transformed_rectangle(
             x, y, ang, float(data.params.length[v]), float(data.params.width[v]))
@@ -69,6 +116,11 @@ def plot_step(ax, cfg, data, arrays: dict, step: int):
                 centers[o, 0], centers[o, 1], obstacles[o, OBST_HEADING],
                 obstacles[o, OBST_LENGTH], obstacles[o, OBST_WIDTH])
             ax.plot(rect[:, 0], rect[:, 1], "r-", lw=1)
+    # red stars on violated predicted steps (plotOnline.py:105-117)
+    viol = violation_flags(cfg, data, arrays, step)
+    for v in range(n_veh):
+        for k in np.nonzero(viol[v])[0]:
+            ax.plot(traj_pred[step, k, 0, v], traj_pred[step, k, 1, v], "r*")
     ax.set_aspect("equal")
     ax.set_title(f"step {step}")
 

@@ -20,7 +20,7 @@ cfg, data = batch_lib.make_batch(
     "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
     n_veh=N_VEH)
 cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                  merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
+                  merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
 
 
 def run(phases, steps=50):
@@ -39,9 +39,9 @@ def run(phases, steps=50):
 
 ref_feas, ref_u, ref_x = run(((20, 1),))
 print(f"flat20: feas={ref_feas.mean():.5f}")
-for ph in (((4, 1), (2, 2), (14, 8)),
-           ((3, 1), (2, 2), (15, 8)),
-           ((4, 1), (2, 2), (14, 16))):
+for ph in (((3, 1), (2, 2), (15, 8)),
+           ((2, 1), (2, 2), (16, 8)),
+           ((2, 1), (2, 2), (2, 4), (14, 8))):
     f, u, x = run(ph)
     du = np.abs(u - ref_u).max()
     dp = np.abs(x[..., :2] - ref_x[..., :2]).max()

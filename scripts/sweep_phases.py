@@ -24,17 +24,29 @@ cfg, data = batch_lib.make_batch(
     "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
     n_veh=N_VEH)
 cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                  merit_patience=2, qp_tol=1e-6, qp_fixed_iters=9)
+                  merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
 carry0 = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
 
+# measured tunnel round trip
+_rtts = []
+for i in range(7):
+    y = jnp.zeros(()) + i
+    t0 = time.time()
+    float(y)
+    _rtts.append(time.time() - t0)
+RTT = sorted(_rtts)[3]
+
 SCHEDULES = [
-    ((4, 1), (2, 2), (14, 8)),          # current
-    ((3, 1), (2, 2), (15, 8)),
+    ((3, 1), (2, 2), (15, 8)),          # current headline
     ((3, 1), (2, 2), (2, 4), (13, 8)),
-    ((4, 1), (2, 2), (2, 4), (12, 8)),
-    ((4, 1), (16, 4)),
-    ((4, 1), (2, 2), (14, 16)),
-    ((5, 1), (15, 8)),
+    ((2, 1), (2, 2), (2, 4), (14, 8)),
+    ((3, 1), (1, 2), (2, 4), (14, 8)),
+    ((3, 1), (2, 2), (15, 16)),
+    ((3, 1), (2, 4), (15, 8)),
+    ((4, 1), (2, 2), (14, 8)),
+    ((2, 1), (2, 2), (16, 8)),
+    ((3, 1), (3, 2), (14, 8)),
+    ((3, 1), (2, 2), (3, 8), (12, 16)),
 ]
 
 
@@ -52,7 +64,7 @@ def measure(phases):
     for _ in range(N):
         c, out = step(data, c)
     s = float(c.state.sum())                  # forced device->host sync
-    dt = (time.time() - t0 - 0.029) / N
+    dt = (time.time() - t0 - RTT) / N
     feas = float(out.feasible.mean())
     obj = float(out.obj.mean())
     return dt, feas, obj

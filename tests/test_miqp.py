@@ -76,7 +76,7 @@ def _tiny_instance(obst, hp, n_veh=1, starts=None, headings=None,
         jnp.float64)
     carry = engine.init_carry(cfg, data)
     _, aux = engine.controller_pre(cfg, data, carry)
-    sys_, _, ref_pts, _, _ = aux
+    sys_, _, ref_pts = aux[0], aux[1], aux[2]
     return cfg, data, sys_, ref_pts
 
 
