@@ -435,7 +435,8 @@ def _cho_solve_vmap(axis_size, in_batched, L, b):
 def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                          reg_rel: float = 3e-6,
                          pb_dims: tuple[int, int] | None = None,
-                         n_cor: int = 0, schur_slack: bool = False):
+                         n_cor: int = 0, schur_slack: bool = False,
+                         g_struct: tuple | None = None):
     """Build the fused-iteration kernel for static sizes.
 
     Layout: mg_pad = pad(mg, 32) G rows, n_pad = pad_dim(n) variables;
@@ -449,6 +450,22 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     computes ``P @ x`` itself — the XLA side neither materializes the dense
     padded P (a 32 MB/iteration HBM read at B=1024, n=88) nor runs the
     block matvec as a separate fusion.
+
+    ``g_struct = (pairs, obst_veh, hp, hu)``: the SCP constraint rows are
+    PAIR-SPARSE — row ``p*hp + k`` touches only the two hu-wide vehicle
+    column blocks of pair ``p`` plus the trailing slack column
+    (ops/constraints.py::linearize) — so the kernel takes per-pair row
+    slabs ``gi/gj (P, hp, hu8, TB)`` (+ obstacle slabs ``(VO, hp, hu8,
+    TB)`` touching one block each, + the equilibrated slack column ``gsl
+    (mg_pad, TB)``) instead of the dense G, runs every matvec on the
+    slabs, and FORMS the Jacobi-scaled KKT matrix itself, block-wise in
+    VMEM via VPU outer-product accumulation. This replaces the XLA-side
+    dense ``G^T W_g G`` dot + (B, n, n) -> (n, n, B) layout transpose —
+    measured as ~45% of the fused-loop iteration (dot/transpose/DMA
+    serialize against the kernel; BENCHMARKS.md "Known headroom") — with
+    ~4x fewer MACs (the dense contraction multiplies mostly zeros) and
+    zero HBM traffic for K. Requires ``schur_slack`` (the slack column
+    never enters the factored block) and ``pb_dims``.
     """
     mg_pad = _pad_to(mg, _MV_MB)
     n_pad = pad_dim(n)
@@ -467,15 +484,39 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     # tile: an HBM->VMEM DMA must match the tiled HBM layout exactly
     # (Mosaic rejects a (nb, d, d, B) copy when d % 8 != 0).
     d8 = _pad_to(d, _SUBLANE) if d else 0
+    if g_struct is not None:
+        assert schur_slack, "g_struct requires schur_slack"
+        assert pb_dims is not None, "g_struct requires block-diagonal P"
+        pairs_s, obst_veh, hp_s, hu_s = g_struct
+        # plain Python ints: Mosaic's index lowering rejects numpy scalars
+        pairs_s = tuple((int(i), int(j)) for i, j in pairs_s)
+        obst_veh = tuple(int(v) for v in obst_veh)
+        hp_s, hu_s = int(hp_s), int(hu_s)
+        P_s, VO_s = len(pairs_s), len(obst_veh)
+        assert (P_s + VO_s) * hp_s == mg, (g_struct, mg)
+        hu8 = _pad_to(hu_s, _SUBLANE)
+        n_veh_s = nu // hu_s
+        assert n_veh_s * hu_s == nu and pb_dims == (n_veh_s, hu_s), \
+            (pb_dims, nu, hu_s)
 
-    def kernel(k_in, gv_ref, p_in, q_ref, pd_ref,
-               x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
-               rpg_ref, rpu_ref, rpl_ref,
-               scal_ref,
-               xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
-               rpgo_ref, rpuo_ref, rplo_ref,
-               scalo_ref,
-               kv_ref, y_ref):
+    def kernel(*refs):
+        refs = list(refs)
+        if g_struct is None:
+            k_in, gv_ref = refs.pop(0), refs.pop(0)
+            gi_ref = gj_ref = gob_ref = gsl_ref = None
+        else:
+            gi_ref, gj_ref = refs.pop(0), refs.pop(0)
+            gob_ref = refs.pop(0) if VO_s else None
+            gsl_ref = refs.pop(0)
+            k_in = gv_ref = None
+        (p_in, q_ref, pd_ref,
+         x_ref, sg_ref, su_ref, sl_ref, zg_ref, zu_ref, zl_ref,
+         rpg_ref, rpu_ref, rpl_ref,
+         scal_ref,
+         xo_ref, sgo_ref, suo_ref, slo_ref, zgo_ref, zuo_ref, zlo_ref,
+         rpgo_ref, rpuo_ref, rplo_ref,
+         scalo_ref,
+         kv_ref, y_ref) = refs
         # K, G and the P blocks arrive as auto-pipelined VMEM input blocks:
         # Pallas prefetches tile i+1 while tile i computes, overlapping the
         # ~9 MB/tile of HBM reads with the factorization (the manual-DMA
@@ -512,23 +553,83 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
 
         _MB = 16  # matvec row-chunk: bounds the (chunk, n_pad, TB) temporary
 
-        def gmv(vec_n):
-            """(n_pad, TB) -> (mg_pad, TB): G @ v per lane, chunked so the
-            elementwise product temporary stays small."""
-            parts = []
-            for j in range(mg_pad // _MB):
-                blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
-                parts.append(jnp.sum(blk * vec_n[None, :, :], axis=1))
-            return jnp.concatenate(parts, axis=0)
+        if g_struct is not None:
+            # Pair-structured matvecs on the row slabs: each constraint row
+            # touches only its pair's two hu-wide vehicle blocks (plus the
+            # slack column), so both directions run on ~2*hu of the n_pad
+            # columns — ~2x fewer VPU element ops than the dense sweeps,
+            # and the dense G never has to exist.
+            def _pad_blk(vec_hu):            # (hu, TB) -> (hu8, TB)
+                if hu8 == hu_s:
+                    return vec_hu
+                return jnp.pad(vec_hu, ((0, hu8 - hu_s), (0, 0)))
 
-        def gtmv(vec_m):
-            """(mg_pad, TB) -> (n_pad, TB): G^T v per lane, chunked."""
-            acc = jnp.zeros((n_pad, TB), jnp.float32)
-            for j in range(mg_pad // _MB):
-                blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
-                sub = vec_m[j * _MB:(j + 1) * _MB]
-                acc = acc + jnp.sum(blk * sub[:, None, :], axis=0)
-            return acc
+            def _blocks_of(vec_n):           # (>=nu, TB) -> per-vehicle list
+                return [_pad_blk(vec_n[v * hu_s:(v + 1) * hu_s])
+                        for v in range(n_veh_s)]
+
+            def gmv(vec_n):
+                vb = _blocks_of(vec_n)
+                parts = []
+                for p, (i, j) in enumerate(pairs_s):
+                    parts.append(
+                        jnp.sum(gi_ref[p] * vb[i][None, :, :], axis=1)
+                        + jnp.sum(gj_ref[p] * vb[j][None, :, :], axis=1))
+                for o, v in enumerate(obst_veh):
+                    parts.append(
+                        jnp.sum(gob_ref[o] * vb[v][None, :, :], axis=1))
+                if mg_pad > mg:
+                    parts.append(jnp.zeros((mg_pad - mg, TB), jnp.float32))
+                out = jnp.concatenate(parts, axis=0)
+                return out + gsl_ref[...] * vec_n[nu][None, :]
+
+            def _cat_blocks(contrib, slack_row):
+                """Assemble an (n_pad, TB) vector from per-vehicle
+                contribution lists + the slack row — pure concatenation
+                (vehicle blocks tile [0, nu) contiguously), since Mosaic
+                lowers neither scatter-add nor value dynamic_slice."""
+                zero_v = jnp.zeros((hu_s, TB), jnp.float32)
+                blks = [sum(c[1:], start=c[0]) if c else zero_v
+                        for c in contrib]
+                parts = blks + [slack_row[None, :]]
+                if n_pad > n:
+                    parts.append(jnp.zeros((n_pad - n, TB), jnp.float32))
+                return jnp.concatenate(parts, axis=0)
+
+            def gtmv(vec_m):
+                contrib = [[] for _ in range(n_veh_s)]
+                for p, (i, j) in enumerate(pairs_s):
+                    vm = vec_m[p * hp_s:(p + 1) * hp_s][:, None, :]
+                    contrib[i].append(
+                        jnp.sum(gi_ref[p] * vm, axis=0)[:hu_s])
+                    contrib[j].append(
+                        jnp.sum(gj_ref[p] * vm, axis=0)[:hu_s])
+                ob = P_s * hp_s
+                for o, v in enumerate(obst_veh):
+                    vm = vec_m[ob + o * hp_s:
+                               ob + (o + 1) * hp_s][:, None, :]
+                    contrib[v].append(
+                        jnp.sum(gob_ref[o] * vm, axis=0)[:hu_s])
+                return _cat_blocks(
+                    contrib, jnp.sum(gsl_ref[...] * vec_m, axis=0))
+        else:
+            def gmv(vec_n):
+                """(n_pad, TB) -> (mg_pad, TB): G @ v per lane, chunked so
+                the elementwise product temporary stays small."""
+                parts = []
+                for j in range(mg_pad // _MB):
+                    blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
+                    parts.append(jnp.sum(blk * vec_n[None, :, :], axis=1))
+                return jnp.concatenate(parts, axis=0)
+
+            def gtmv(vec_m):
+                """(mg_pad, TB) -> (n_pad, TB): G^T v per lane, chunked."""
+                acc = jnp.zeros((n_pad, TB), jnp.float32)
+                for j in range(mg_pad // _MB):
+                    blk = gv_ref[pl.ds(j * _MB, _MB), :, :]
+                    sub = vec_m[j * _MB:(j + 1) * _MB]
+                    acc = acc + jnp.sum(blk * sub[:, None, :], axis=0)
+                return acc
 
         # rp maintained by the exact (1 - alpha) recurrence: recomputing
         # G x + s - h in f32 leaves ~1e-7 noise that active-row barrier
@@ -548,11 +649,37 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         # the factorization's trailing updates destroy the small rows
         # (see scp_tpu/solvers/qp.py::factor). diag(K) is computed
         # analytically from G so it is ready before the K DMA lands.
-        gsq = jnp.zeros((n_pad, TB), jnp.float32)
-        for j in range(mg_pad // 16):
-            blk = gv_ref[pl.ds(j * 16, 16), :, :]
-            wsub = wg[j * 16:(j + 1) * 16]
-            gsq = gsq + jnp.sum(blk * blk * wsub[:, None, :], axis=0)
+        if g_struct is not None:
+            # analytic diag of G^T W G from the slabs; the w-scaled slabs
+            # are kept for the in-VMEM K formation below.
+            wgi_l, wgj_l, wgo_l = [], [], []
+            sq_contrib = [[] for _ in range(n_veh_s)]
+            for p, (i, j) in enumerate(pairs_s):
+                wp = wg[p * hp_s:(p + 1) * hp_s][:, None, :]
+                wgi = gi_ref[p] * wp
+                wgj = gj_ref[p] * wp
+                wgi_l.append(wgi)
+                wgj_l.append(wgj)
+                sq_contrib[i].append(
+                    jnp.sum(wgi * gi_ref[p], axis=0)[:hu_s])
+                sq_contrib[j].append(
+                    jnp.sum(wgj * gj_ref[p], axis=0)[:hu_s])
+            ob0 = P_s * hp_s
+            for o, v in enumerate(obst_veh):
+                wp = wg[ob0 + o * hp_s:ob0 + (o + 1) * hp_s][:, None, :]
+                wgo = gob_ref[o] * wp
+                wgo_l.append(wgo)
+                sq_contrib[v].append(
+                    jnp.sum(wgo * gob_ref[o], axis=0)[:hu_s])
+            gsl_v = gsl_ref[...]
+            gsq = _cat_blocks(sq_contrib,
+                              jnp.sum(wg * gsl_v * gsl_v, axis=0))
+        else:
+            gsq = jnp.zeros((n_pad, TB), jnp.float32)
+            for j in range(mg_pad // 16):
+                blk = gv_ref[pl.ds(j * 16, 16), :, :]
+                wsub = wg[j * 16:(j + 1) * 16]
+                gsq = gsq + jnp.sum(blk * blk * wsub[:, None, :], axis=0)
         dbox = jnp.where(mk_n, zu / su + zl / sl, 0.0)
         dk = pd_ref[...] + gsq + dbox                    # (n_pad, TB)
         dsc = jax.lax.rsqrt(jnp.maximum(dk, 1e-30))
@@ -563,7 +690,8 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             # analytic diagonal dk[nu] IS its exact diagonal, so after the
             # Jacobi scaling kappa~ = 1 (+ the same regularization as every
             # other diagonal). Eliminate: Ks = K~uu - kb kb^T / kappa~.
-            gslack = gv_ref[:, nu, :]                        # (mg_pad, TB)
+            gslack = (gv_ref[:, nu, :] if g_struct is None
+                      else gsl_ref[...])                     # (mg_pad, TB)
             kuw = gtmv(wg * gslack)                          # (n_pad, TB)
             kb = (dsc * kuw * dsc[nu][None, :])[:nu]         # (nu, TB)
             inv_kappa = 1.0 / (1.0 + reg_rel)
@@ -576,25 +704,89 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         # of iota/select masks in the full-K pass (and a second full-K
         # pass for the Schur update), the diagonal is overwritten in a
         # cheap 8x8-block sweep below.
-        dsc_k = dsc[:ks]
-        for cs in range(0, ks, _CHUNK):
-            cw = min(_CHUNK, ks - cs)
-            blk = k_in[pl.ds(cs, cw), :, :]
-            scaled = blk * (dsc[cs:cs + cw][:, None, :] * dsc_k[None, :, :])
-            if schur_slack:
-                scaled = scaled - (kbk[cs:cs + cw][:, None, :]
-                                   * kb[None, :, :])
-            kv_ref[pl.ds(cs, cw), :, :] = scaled
-        if pb_dims is not None:
-            # K arrived as the bare G^T W_g G product: add the (symmetric)
-            # P blocks — post-scale, so scale them the same way.
-            for vb in range(nb):
-                o = vb * d
-                psc = dsc[o:o + d]
-                kv_ref[pl.ds(o, d), pl.ds(o, d), :] = (
-                    kv_ref[pl.ds(o, d), pl.ds(o, d), :]
-                    + pbv[vb][:, :d, :]
-                    * (psc[:, None, :] * psc[None, :, :]))
+        if g_struct is not None:
+            # In-VMEM pair-block K formation: the scaled KKT matrix is
+            # assembled block-wise from the resident slabs via VPU
+            # outer-product accumulation — the dense XLA dot (which
+            # multiplies mostly zeros), its (B, n, n) -> (n, n, B) layout
+            # transpose, and the K HBM round trip all disappear. Only the
+            # LOWER triangle is written (the factor reads nothing else);
+            # the Jacobi scaling and the Schur border fold into the block
+            # math. Off-diagonal block (i < j): kernel layout
+            # kv[i-block major, j-block sublane] = K[jblk + a, iblk + c].
+            dscb = _blocks_of(dsc)
+            kbp = jnp.pad(kb, ((0, n_pad - nu), (0, 0)))
+            kbb = _blocks_of(kbp)
+            kbkb = _blocks_of(inv_kappa * kbp)
+
+            def outer_sum(a_slab, b_slab):
+                # (hp, hu8, TB) x2 -> (hu8, hu8, TB):
+                # out[c, a, :] = sum_k a_slab[k, c, :] * b_slab[k, a, :]
+                acc = a_slab[0][:, None, :] * b_slab[0][None, :, :]
+                for k in range(1, hp_s):
+                    acc = acc + a_slab[k][:, None, :] * b_slab[k][None, :, :]
+                return acc
+
+            diag_acc = [None] * n_veh_s
+
+            def _dadd(v, blk):
+                diag_acc[v] = blk if diag_acc[v] is None \
+                    else diag_acc[v] + blk
+
+            zero_blk = jnp.zeros((hu_s, hu_s, TB), jnp.float32)
+            for p, (i, j) in enumerate(pairs_s):
+                A_i = gi_ref[p] * dscb[i][None, :, :]
+                A_j = gj_ref[p] * dscb[j][None, :, :]
+                wA_i = wgi_l[p] * dscb[i][None, :, :]
+                wA_j = wgj_l[p] * dscb[j][None, :, :]
+                blk = outer_sum(wA_i, A_j) \
+                    - kbkb[i][:, None, :] * kbb[j][None, :, :]
+                kv_ref[pl.ds(i * hu_s, hu_s), pl.ds(j * hu_s, hu_s), :] = \
+                    blk[:hu_s, :hu_s, :]
+                # keep the never-read upper-triangle mirror finite (VMEM
+                # scratch is uninitialized; the factor's trailing updates
+                # touch it arithmetically)
+                kv_ref[pl.ds(j * hu_s, hu_s), pl.ds(i * hu_s, hu_s), :] = \
+                    zero_blk
+                _dadd(i, outer_sum(wA_i, A_i))
+                _dadd(j, outer_sum(wA_j, A_j))
+            for o, v in enumerate(obst_veh):
+                A_v = gob_ref[o] * dscb[v][None, :, :]
+                wA_v = wgo_l[o] * dscb[v][None, :, :]
+                _dadd(v, outer_sum(wA_v, A_v))
+            for v in range(n_veh_s):
+                dvs = dscb[v][:hu_s]
+                # NB: keep slice and None-insertion as separate indexing
+                # ops — a combined [:hu_s, None, :] lowers to a gather,
+                # which Mosaic rejects.
+                border8 = kbkb[v][:, None, :] * kbb[v][None, :, :]
+                acc = zero_blk if diag_acc[v] is None \
+                    else diag_acc[v][:hu_s, :hu_s, :]
+                acc = acc + pbv[v][:, :d, :] \
+                    * (dvs[:, None, :] * dvs[None, :, :])
+                acc = acc - border8[:hu_s, :hu_s, :]
+                kv_ref[pl.ds(v * hu_s, hu_s), pl.ds(v * hu_s, hu_s), :] = acc
+        else:
+            dsc_k = dsc[:ks]
+            for cs in range(0, ks, _CHUNK):
+                cw = min(_CHUNK, ks - cs)
+                blk = k_in[pl.ds(cs, cw), :, :]
+                scaled = blk * (dsc[cs:cs + cw][:, None, :]
+                                * dsc_k[None, :, :])
+                if schur_slack:
+                    scaled = scaled - (kbk[cs:cs + cw][:, None, :]
+                                       * kb[None, :, :])
+                kv_ref[pl.ds(cs, cw), :, :] = scaled
+            if pb_dims is not None:
+                # K arrived as the bare G^T W_g G product: add the
+                # (symmetric) P blocks — post-scale, scaled the same way.
+                for vb in range(nb):
+                    o = vb * d
+                    psc = dsc[o:o + d]
+                    kv_ref[pl.ds(o, d), pl.ds(o, d), :] = (
+                        kv_ref[pl.ds(o, d), pl.ds(o, d), :]
+                        + pbv[vb][:, :d, :]
+                        * (psc[:, None, :] * psc[None, :, :]))
         dmask = (jax.lax.broadcasted_iota(
             jnp.int32, (_SUBLANE, _SUBLANE, 1), 0)
             == jax.lax.broadcasted_iota(
@@ -853,3 +1045,90 @@ def ipm_iterate_lane(K_lane, G_lane, px, q, pdiag,
     )(K_lane, G_lane, p_arg, q, pdiag,
       x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal)
     return outs
+
+
+def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
+                            x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
+                            *, g_struct, mg: int, n: int, m_true: int,
+                            tol: float, reg_rel: float = 3e-6,
+                            n_cor: int = 0):
+    """One fused Mehrotra iteration on the PAIR-STRUCTURED constraint rows.
+
+    Instead of a pre-formed K and a dense lane-layout G, the kernel takes
+    per-pair row slabs and forms the Jacobi-scaled KKT matrix itself in
+    VMEM (see ``make_ipm_iter_kernel``'s ``g_struct``). Implies
+    ``schur_slack`` and the block-diagonal P path.
+
+    gi/gj: (P, hp, hu8, B) — rows ``p*hp + k`` restricted to the pair's
+    two vehicle column blocks (sublane-padded hu -> hu8);
+    gob: (VO, hp, hu8, B) obstacle slabs or None when there are none;
+    gsl: (mg_pad, B) the equilibrated slack column (signed);
+    pb: (nb, d, d8, B) block-diagonal P statement (required);
+    vectors as in :func:`ipm_iterate_lane`.
+    """
+    pairs_s, obst_veh, hp_s, hu_s = g_struct
+    B = q.shape[1]
+    n_pad = pad_dim(n)
+    mg_pad = _pad_to(mg, _MV_MB)
+    nb, dd = pb.shape[0], pb.shape[1]
+    kernel, _, _ = make_ipm_iter_kernel(
+        mg, n, m_true, tol, reg_rel, pb_dims=(nb, dd), n_cor=n_cor,
+        schur_slack=True, g_struct=g_struct)
+    hu8 = _pad_to(hu_s, _SUBLANE)
+    d8 = _pad_to(dd, _SUBLANE)
+    nu = n - 1
+    f32 = jnp.float32
+    vec_m = pl.BlockSpec((mg_pad, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    vec_n = pl.BlockSpec((n_pad, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    vec_s = pl.BlockSpec((_SUBLANE, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+
+    def slab_spec(p_count):
+        return pl.BlockSpec((p_count, hp_s, hu8, TB),
+                            lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    pb = jnp.pad(pb, ((0, 0), (0, 0), (0, d8 - dd), (0, 0)))
+    p_spec = pl.BlockSpec((nb, dd, d8, TB), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    in_specs = [slab_spec(len(pairs_s)), slab_spec(len(pairs_s))]
+    args = [gi, gj]
+    if obst_veh:
+        in_specs.append(slab_spec(len(obst_veh)))
+        args.append(gob)
+    in_specs += [vec_m, p_spec, vec_n, vec_n,        # gsl, pb, q, pdiag
+                 vec_n, vec_m, vec_n, vec_n,         # x, sg, su, sl
+                 vec_m, vec_n, vec_n,                # zg, zu, zl
+                 vec_m, vec_n, vec_n,                # rpg, rpu, rpl
+                 vec_s]
+    args += [gsl, pb, q, pdiag, x, sg, su, sl, zg, zu, zl,
+             rpg, rpu, rpl, scal]
+    return pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        grid=(B // TB,),
+        in_specs=in_specs,
+        out_specs=[vec_n, vec_m, vec_n, vec_n, vec_m, vec_n, vec_n,
+                   vec_m, vec_n, vec_n, vec_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((mg_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((n_pad, B), f32),
+            jax.ShapeDtypeStruct((_SUBLANE, B), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nu, nu, TB), f32),           # factor
+            pltpu.VMEM((n_pad, TB), f32),            # solve scratch
+        ],
+    )(*args)

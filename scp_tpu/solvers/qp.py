@@ -367,7 +367,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      use_pallas: bool | None = None,
                      p_blocks=None, correctors: int = 0,
                      slack_schur: bool = False,
-                     certificate: bool = True) -> QPSolution:
+                     certificate: bool = True,
+                     g_struct: tuple | None = None) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -386,6 +387,16 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     The SCP cost is block-diagonal per vehicle plus a zero slack row, so the
     per-iteration dual-residual matvec P @ x touches ~6% of the dense bytes
     (the dense P is still used for the KKT formation and the objective).
+
+    ``g_struct = (pairs, obst_veh, hp, hu)``: static statement that G's
+    rows are PAIR-SPARSE in the SCP layout — row ``p*hp + k`` touches only
+    the two hu-wide vehicle column blocks of ``pairs[p]``, obstacle row
+    blocks touch one block each, and the final column is the slack. On the
+    fused fixed-iteration path (with ``slack_schur`` active and
+    ``p_blocks`` given) the kernel then takes per-pair row slabs and forms
+    the Jacobi-scaled KKT matrix itself in VMEM — the dense per-iteration
+    ``G^T W_g G`` MXU dot, its layout transpose, and the K HBM round trip
+    (measured ~45% of the fused loop) all disappear. Ignored elsewhere.
 
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
@@ -456,13 +467,30 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)            # (B,)
     P_s = P * cost_scale[:, None, None]
 
-    # lane-layout copies: ONE transpose each per solve, loop-invariant
-    G_lane = pll.to_lane3(G_c)                                # (mg', n_pad, B)
-    mg_pad = G_lane.shape[0]
+    # Structured mode: the fused kernel forms K from per-pair row slabs, so
+    # the dense lane-layout G copy is never needed — the few setup and
+    # certificate matvecs run as XLA einsums on G_c instead.
+    use_struct = (g_struct is not None and fixed_iters is not None
+                  and slack_schur and (n - 1) % 8 == 0
+                  and p_blocks is not None)
 
     # everything below lives as (dim, B) — batch on lanes
     def t(a):                                                 # (B, d) -> (d, B)
         return jnp.transpose(a, (1, 0))
+
+    if use_struct:
+        mg_pad = pll._pad_to(mg, pll._MV_MB)
+        _HI = jax.lax.Precision.HIGHEST
+
+        def gmv(x):                                           # (n,B)->(mg,B)
+            return jnp.einsum("bmn,nb->mb", G_c, x, precision=_HI)
+
+        def gtmv(v):                                          # (mg,B)->(n,B)
+            return jnp.einsum("bmn,mb->nb", G_c, v, precision=_HI)
+    else:
+        # lane-layout copies: ONE transpose each per solve, loop-invariant
+        G_lane = pll.to_lane3(G_c)                            # (mg', n_pad, B)
+        mg_pad = G_lane.shape[0]
 
     q_s = t(q) * cost_scale[None, :]                          # (n, B)
     hhat_s = jnp.concatenate([t(h * d_row), t(ub), -t(lb)])   # (m, B)
@@ -471,11 +499,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     def pad_rows(v, rows):
         return jnp.pad(v, ((0, rows - v.shape[0]), (0, 0)))
 
-    def gmv(x):                                               # (n,B)->(mg,B)
-        return pll.gmv_lane(G_lane, pad_rows(x, n_pad))[:mg]
+    if not use_struct:
+        def gmv(x):                                           # (n,B)->(mg,B)
+            return pll.gmv_lane(G_lane, pad_rows(x, n_pad))[:mg]
 
-    def gtmv(v):                                              # (mg,B)->(n,B)
-        return pll.gtmv_lane(G_lane, pad_rows(v, mg_pad))[:n]
+        def gtmv(v):                                          # (mg,B)->(n,B)
+            return pll.gtmv_lane(G_lane, pad_rows(v, mg_pad))[:n]
 
     if p_blocks is None:
         P_lane = pll.to_lane3(P_s)                            # (n', n_pad, B)
@@ -591,7 +620,6 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         # with the factor and G resident in VMEM; only the KKT formation
         # (MXU matmul) and its layout transpose stay in XLA. See
         # pallas_linalg.ipm_iterate_lane.
-        mg_pad = G_lane.shape[0]
         mrow = jnp.arange(mg_pad)[:, None] < mg
         nrow = jnp.arange(n_pad)[:, None] < n
         one = jnp.ones((), dtype)
@@ -600,12 +628,19 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             out = jnp.full((rows, B), fill, dtype)
             return out.at[:v.shape[0]].set(v)
 
+        if use_struct:
+            def gmv_pad(xl):
+                return lane_pad(gmv(xl[:n]), mg_pad, 0.0)
+        else:
+            def gmv_pad(xl):
+                return pll.gmv_lane(G_lane, xl)
+
         hg = lane_pad(t(h * d_row), mg_pad, one)
         hu_ = lane_pad(ub_t, n_pad, one)
         hl = lane_pad(-lb_t, n_pad, one)
         q_lane = lane_pad(q_s, n_pad, 0.0)
         xl = lane_pad(x, n_pad, 0.0)
-        sg = jnp.maximum(hg - pll.gmv_lane(G_lane, xl), 1.0)
+        sg = jnp.maximum(hg - gmv_pad(xl), 1.0)
         su = jnp.maximum(hu_ - xl, 1.0)
         sl = jnp.maximum(hl + xl, 1.0)
         zg = jnp.where(mrow, 1.0 / sg, 0.0)
@@ -627,7 +662,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                            lane_pad(t(z_w[:, mg + n:]), n_pad, 0.0), zl)
         scal = jnp.zeros((8, B), dtype).at[0].set(jnp.finfo(dtype).max)
         # rp carried by exact recurrence (see iterate); benign on pads
-        rpg = jnp.where(mrow, pll.gmv_lane(G_lane, xl) + sg - hg, 0.0)
+        rpg = jnp.where(mrow, gmv_pad(xl) + sg - hg, 0.0)
         rpu = jnp.where(nrow, xl + su - hu_, 0.0)
         rpl = jnp.where(nrow, -xl + sl - hl, 0.0)
 
@@ -637,40 +672,75 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         # kernel): the factorization runs on n-1 (a sublane multiple)
         # columns instead of n_pad.
         use_schur = slack_schur and (n - 1) % 8 == 0
-        if use_schur:
-            G_k = G_c[:, :, :n - 1]                  # loop-invariant slice
-            if p_blocks is None:
-                P_pad = P_s[:, :n - 1, :n - 1]
-        else:
-            G_k = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
-            if p_blocks is None:
-                P_pad = jnp.pad(P_s,
-                                ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-                P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
         pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
+        if use_struct:
+            # Per-pair row slabs (once per solve, loop-invariant): the
+            # fused kernel forms K from these in VMEM — no dense dot, no
+            # layout transpose, no K in HBM (see ipm_iterate_lane_struct).
+            pairs_s, obst_veh, hp_s, hu_s = g_struct
+            hu8 = pll._pad_to(hu_s, 8)
+            ob0 = len(pairs_s) * hp_s
 
-        def fori_body(_, state):
-            xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
-            wg_c = t2(zg[:mg] / sg[:mg])                    # (B, mg)
-            # G^T W_g G on the MXU; box diagonal + regularization are added
-            # inside the fused kernel (in VMEM). The dot contracts the G-row
-            # axis of both operands directly — no transposed copy. On the
-            # block path the kernel also adds the P blocks and computes
-            # P @ x itself (the dense padded P never touches HBM).
-            Kprod = jax.lax.dot_general(
-                G_k, G_k * wg_c[:, :, None],
-                (((1,), (1,)), ((0,), (0,))), precision=k_precision)
-            if p_blocks is None:
-                K_lane = jnp.transpose(P_pad + Kprod, (2, 1, 0))
-                px, pb_arg = pad_rows(pmv(xl[:n]), n_pad), None
+            def _slab(parts):    # list of (B, hp, hu) -> (C, hp, hu8, B)
+                s = jnp.transpose(jnp.stack(parts), (0, 2, 3, 1))
+                return jnp.pad(
+                    s, ((0, 0), (0, 0), (0, hu8 - hu_s), (0, 0)))
+
+            gi_sl = _slab([
+                G_c[:, p * hp_s:(p + 1) * hp_s, i * hu_s:(i + 1) * hu_s]
+                for p, (i, j) in enumerate(pairs_s)])
+            gj_sl = _slab([
+                G_c[:, p * hp_s:(p + 1) * hp_s, j * hu_s:(j + 1) * hu_s]
+                for p, (i, j) in enumerate(pairs_s)])
+            gob_sl = _slab([
+                G_c[:, ob0 + o * hp_s:ob0 + (o + 1) * hp_s,
+                    v * hu_s:(v + 1) * hu_s]
+                for o, v in enumerate(obst_veh)]) if obst_veh else None
+            gsl_sl = lane_pad(t(G_c[:, :, n - 1]), mg_pad, 0.0)
+
+            def fori_body(_, state):
+                xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
+                return pll.ipm_iterate_lane_struct(
+                    gi_sl, gj_sl, gob_sl, gsl_sl, pb_lane, q_lane, pdiag,
+                    xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
+                    g_struct=g_struct, mg=mg, n=n, m_true=m, tol=tol,
+                    reg_rel=reg_rel_f, n_cor=correctors)
+        else:
+            if use_schur:
+                G_k = G_c[:, :, :n - 1]              # loop-invariant slice
+                if p_blocks is None:
+                    P_pad = P_s[:, :n - 1, :n - 1]
             else:
-                K_lane = jnp.transpose(Kprod, (2, 1, 0))
-                px, pb_arg = None, pb_lane
-            return pll.ipm_iterate_lane(
-                K_lane, G_lane, px, q_lane, pdiag,
-                xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
-                mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f,
-                pb=pb_arg, n_cor=correctors, schur_slack=use_schur)
+                G_k = jnp.pad(G_c, ((0, 0), (0, 0), (0, n_pad - n)))
+                if p_blocks is None:
+                    P_pad = jnp.pad(P_s,
+                                    ((0, 0), (0, n_pad - n),
+                                     (0, n_pad - n)))
+                    P_pad = P_pad.at[:, diag_pad, diag_pad].set(1.0)
+
+            def fori_body(_, state):
+                xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
+                wg_c = t2(zg[:mg] / sg[:mg])                # (B, mg)
+                # G^T W_g G on the MXU; box diagonal + regularization are
+                # added inside the fused kernel (in VMEM). The dot
+                # contracts the G-row axis of both operands directly — no
+                # transposed copy. On the block path the kernel also adds
+                # the P blocks and computes P @ x itself (the dense padded
+                # P never touches HBM).
+                Kprod = jax.lax.dot_general(
+                    G_k, G_k * wg_c[:, :, None],
+                    (((1,), (1,)), ((0,), (0,))), precision=k_precision)
+                if p_blocks is None:
+                    K_lane = jnp.transpose(P_pad + Kprod, (2, 1, 0))
+                    px, pb_arg = pad_rows(pmv(xl[:n]), n_pad), None
+                else:
+                    K_lane = jnp.transpose(Kprod, (2, 1, 0))
+                    px, pb_arg = None, pb_lane
+                return pll.ipm_iterate_lane(
+                    K_lane, G_lane, px, q_lane, pdiag,
+                    xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
+                    mg=mg, n=n, m_true=m, tol=tol, reg_rel=reg_rel_f,
+                    pb=pb_arg, n_cor=correctors, schur_slack=use_schur)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
         xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(

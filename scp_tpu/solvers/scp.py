@@ -238,6 +238,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       qp_warm_dual: bool = False,
                       qp_correctors: int = 0,
                       qp_certificate: bool = False,
+                      qp_use_pallas: bool | None = None,
                       compat_q5: bool = True) -> SCPResult:
     """Natively-batched :func:`solve_scp` (leading batch axis).
 
@@ -302,6 +303,16 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                  z=jnp.zeros((b, m_qp), dtype),
                  best=best0)
 
+    # Static pair structure of the constraint rows (con.linearize's layout:
+    # pair-major then (vehicle, obstacle) blocks, hp rows each, hu-wide
+    # vehicle column blocks, slack column last) — lets the fused QP form
+    # the KKT matrix from per-pair slabs in VMEM (qp.solve_qp_batched's
+    # ``g_struct``).
+    n_obst = sys.obst_pos.shape[1]
+    g_struct = (tuple(con._static_pairs(v)),
+                tuple(vv for vv in range(v) for _ in range(n_obst)),
+                hp, hu)
+
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)
         G_c, rhs = jax.vmap(con.linearize)(sys, c.u)
@@ -314,7 +325,9 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   p_blocks=2.0 * problem.phi0,
                                   correctors=qp_correctors,
                                   slack_schur=True,
-                                  certificate=qp_certificate)
+                                  certificate=qp_certificate,
+                                  use_pallas=qp_use_pallas,
+                                  g_struct=g_struct)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)

@@ -149,7 +149,42 @@ def kernel_iter_cor(ncor):
     return f
 
 
+# --- pair-structured iteration: slabs + in-kernel K formation ---
+n_veh, hp_p, hu_p = 4, 20, 20
+import numpy as np                                          # noqa: E402
+_iu, _ju = np.triu_indices(n_veh, k=1)
+PAIRS = tuple(zip(_iu.tolist(), _ju.tolist()))
+G_STRUCT = (PAIRS, (), hp_p, hu_p)
+hu8 = 24
+
+
+def _slab(parts):
+    s = jnp.transpose(jnp.stack(parts), (0, 2, 3, 1))
+    return jnp.pad(s, ((0, 0), (0, 0), (0, hu8 - hu_p), (0, 0)))
+
+
+gi_sl = _slab([G_c[:, p * hp_p:(p + 1) * hp_p, i * hu_p:(i + 1) * hu_p]
+               for p, (i, j) in enumerate(PAIRS)])
+gj_sl = _slab([G_c[:, p * hp_p:(p + 1) * hp_p, j * hu_p:(j + 1) * hu_p]
+               for p, (i, j) in enumerate(PAIRS)])
+gsl_sl = jnp.zeros((mg_pad, B), f32).at[:mg].set(
+    jnp.transpose(G_c[:, :, nu], (1, 0)))
+# per-vehicle P blocks (structured mode requires pb_dims == (V, hu))
+blocks4 = jax.random.normal(ks_[5], (B, n_veh, hu_p, hu_p), f32) * 0.1
+pb4 = jnp.einsum("bnij,bnkj->bnik", blocks4, blocks4) \
+    + 3.0 * jnp.eye(hu_p, dtype=f32)
+pb4_lane = jnp.transpose(pb4, (1, 2, 3, 0))                 # (V, hu, hu, B)
+
+
+def struct_iter(state):
+    xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
+    return pll.ipm_iterate_lane_struct(
+        gi_sl, gj_sl, None, gsl_sl, pb4_lane, q_lane, pdiag,
+        xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
+        g_struct=G_STRUCT, mg=mg, n=n, m_true=m_true, tol=1e-6)
+
+
 print(f"full iteration:   {time_marginal(full_iter, state0)*1e3:7.3f} ms")
 print(f"kernel only:      {time_marginal(kernel_iter, state0)*1e3:7.3f} ms")
 print(f"glue only:        {time_marginal(glue_iter, (zg, sg))*1e3:7.3f} ms")
-print(f"glue (1,2,0):     {time_marginal(glue_iter_sym, (zg, sg))*1e3:7.3f} ms")
+print(f"struct iteration: {time_marginal(struct_iter, state0)*1e3:7.3f} ms")

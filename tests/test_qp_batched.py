@@ -109,6 +109,99 @@ def test_fused_p_blocks_matches_dense_interpret():
                                atol=5e-5)
 
 
+def _pair_sparse_qps(B=64, v=3, hu=8, hp=5, o=1, seed=4):
+    """SCP-shaped QPs: pair-sparse G rows + obstacle rows + slack column,
+    block-diagonal P with a zero slack row (the layout g_struct asserts)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = v * hu + 1
+    pairs = [(i, j) for i in range(v) for j in range(i + 1, v)]
+    mg = (len(pairs) + v * o) * hp
+    G = np.zeros((B, mg, n), np.float32)
+    for p, (i, j) in enumerate(pairs):
+        G[:, p * hp:(p + 1) * hp, i * hu:(i + 1) * hu] = \
+            rng.normal(size=(B, hp, hu)) * 0.3
+        G[:, p * hp:(p + 1) * hp, j * hu:(j + 1) * hu] = \
+            rng.normal(size=(B, hp, hu)) * 0.3
+    ob0 = len(pairs) * hp
+    for oi, vv in enumerate(vv for vv in range(v) for _ in range(o)):
+        G[:, ob0 + oi * hp:ob0 + (oi + 1) * hp,
+          vv * hu:(vv + 1) * hu] = rng.normal(size=(B, hp, hu)) * 0.3
+    G[:, :, -1] = -1.0                                    # slack column
+    A = rng.normal(size=(B, v, hu, hu)).astype(np.float32)
+    blocks = jnp.asarray(np.einsum("bvij,bvkj->bvik", A, A) / hu
+                         + 3.0 * np.eye(hu, dtype=np.float32))
+    P = np.zeros((B, n, n), np.float32)
+    for vv in range(v):
+        P[:, vv * hu:(vv + 1) * hu, vv * hu:(vv + 1) * hu] = \
+            np.asarray(blocks[:, vv])
+    q = rng.normal(size=(B, n)).astype(np.float32)
+    q[:, -1] = 10.0                                       # slack weight
+    h = np.full((B, mg), 0.5, np.float32)
+    lb = np.full((B, n), -1.0, np.float32)
+    lb[:, -1] = 0.0
+    ub = np.full((B, n), 1.0, np.float32)
+    ub[:, -1] = 100.0
+    g_struct = (tuple(pairs),
+                tuple(vv for vv in range(v) for _ in range(o)), hp, hu)
+    return ([jnp.asarray(a) for a in (P, q, G, h, lb, ub)], blocks,
+            g_struct)
+
+
+def test_fused_struct_matches_dense_interpret():
+    """The pair-structured fused path (in-kernel K formation from per-pair
+    row slabs, ipm_iterate_lane_struct) == the dense fused path."""
+    args, blocks, g_struct = _pair_sparse_qps()
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_struct = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True,
+            p_blocks=blocks, slack_schur=True,
+            g_struct=g_struct))(*args)
+        r_dense = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True,
+            p_blocks=blocks, slack_schur=True))(*args)
+    finally:
+        pll.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(r_struct.x),
+                               np.asarray(r_dense.x), atol=2e-4)
+    assert float(jnp.mean(r_struct.converged == r_dense.converged)) > 0.95
+
+
+def test_scp_stacked_struct_matches_plain_interpret():
+    """solve_scp_stacked with the structured fused QP == the vmapped SCP
+    reference on a real scenario batch (pairs + schur + g_struct engaged:
+    2 vehicles, hu=8 so (n-1) % 8 == 0)."""
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch(
+        "circle", 8, key=jax.random.PRNGKey(9), dtype=jnp.float32, n_veh=2)
+    cfg = cfg.replace(hp=8, hu=8, max_scp_iter=5, qp_fixed_iters=10,
+                      qp_tol=1e-6, delta_tol_rel=1e-4, u_step_tol=1e-5)
+    carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
+    problem, _ = jax.jit(jax.vmap(
+        lambda d, c: engine.controller_pre(cfg, d, c)))(data, carry)
+    kw = engine._scp_kwargs(cfg)
+    u_lim = kw.pop("u_lim")
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_struct = jax.jit(lambda p, u: scp.solve_scp_stacked(
+            p, u, u_lim=u_lim, max_scp_iter=5, qp_use_pallas=True,
+            **kw))(problem, carry.u_warm)
+    finally:
+        pll.INTERPRET = old
+    r_ref = jax.jit(lambda p, u: scp.solve_scp_stacked(
+        p, u, u_lim=u_lim, max_scp_iter=5, qp_use_pallas=False,
+        **kw))(problem, carry.u_warm)
+    np.testing.assert_allclose(np.asarray(r_struct.u),
+                               np.asarray(r_ref.u), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(r_struct.feasible),
+                                  np.asarray(r_ref.feasible))
+
+
 def test_solve_scp_stacked_matches_vmap():
     """Stacked SCP == vmapped SCP bit-for-bit when both use the same QP."""
     from scp_tpu.scenarios import batch as batch_lib
