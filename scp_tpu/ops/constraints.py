@@ -121,16 +121,20 @@ def _pair_diff(pos: jax.Array, v: int) -> jax.Array:
     return jnp.stack([pos[i] - pos[j] for i, j in pairs])
 
 
-def linearize(sys: ConstraintSystem, u: jax.Array):
-    """Linearize every constraint at ``u``: rows ``g`` with ``g @ x <= rhs``.
+def linearize_slabs(sys: ConstraintSystem, u: jax.Array):
+    """Linearize every constraint at ``u`` into PAIR-SPARSE row slabs.
 
-    Equivalent to the reference's ``Psi^T + 2 u^T Phi`` rows and
-    ``u^T Phi u - gamma`` rhs (SCP_controller.py:100-113) computed from the
-    position structure. Returns ``(G (C, n), rhs (C,))`` with
-    C = P*K + V*O*K, n = V*hu.
+    Same math as :func:`linearize` (the reference's ``Psi^T + 2 u^T Phi``
+    rows, SCP_controller.py:100-113) but the rows are returned restricted
+    to the vehicle blocks they actually touch — ``gi/gj (P, K, U)`` for
+    the pair rows and ``gob (V, O, K, U)`` for the obstacle rows — so the
+    mostly-zero dense ``(C, n)`` matrix never has to exist. This is the
+    native input of the structured fused QP (qp.solve_qp_batched's
+    ``g_slabs``), whose Pallas kernel consumes exactly these slabs.
+    Coupling masks are already applied. Returns ``(gi, gj, gob, rhs)``
+    with rhs over rows ordered [pairs p-major k-minor | (v, o) k-minor].
     """
     v, k, _, hu = sys.b3.shape
-    n = v * hu
     pos = positions(sys, u)
     pairs = _static_pairs(v)
 
@@ -139,22 +143,13 @@ def linearize(sys: ConstraintSystem, u: jax.Array):
     c_pair = sys.dsafe2_pair[:, None] - jnp.sum(d_pair**2, -1)
     gi = -2.0 * jnp.einsum("pky,pkyu->pku", d_pair, sys.b3i)
     gj = 2.0 * jnp.einsum("pky,pkyu->pku", d_pair, sys.b3j)
-    # scatter the per-vehicle gradient segments into the stacked variable
-    # with static slices (P and V are trace-time constants): each (p, w)
-    # cell of the (P, K, V, U) row tensor is gi[p], gj[p], or zero.
-    zero_ku = jnp.zeros((k, hu), u.dtype)
     uv = u.reshape(v, hu)
     if pairs:
-        g_pair = jnp.stack([
-            jnp.stack([gi[p] if i == w else (gj[p] if j == w else zero_ku)
-                       for w in range(v)], axis=1)
-            for p, (i, j) in enumerate(pairs)])           # (P, K, V, U)
         ui = jnp.stack([uv[i] for i, _ in pairs])
         uj = jnp.stack([uv[j] for _, j in pairs])
         gdotu_pair = (jnp.einsum("pku,pu->pk", gi, ui)
                       + jnp.einsum("pku,pu->pk", gj, uj))
     else:
-        g_pair = jnp.zeros((0, k, v, hu), u.dtype)
         gdotu_pair = jnp.zeros((0, k), u.dtype)
     rhs_pair = gdotu_pair - c_pair
 
@@ -162,28 +157,62 @@ def linearize(sys: ConstraintSystem, u: jax.Array):
     d_obst = pos[:, None] - sys.obst_pos[None]            # (V, O, K, NY)
     c_obst = sys.dsafe2_obst[:, :, None] - jnp.sum(d_obst**2, -1)
     gv = -2.0 * jnp.einsum("voky,vkyu->voku", d_obst, sys.b3)
-    o = gv.shape[1]
-    zero_oku = jnp.zeros((o, k, hu), u.dtype)
-    g_obst = jnp.stack([
-        jnp.stack([gv[vv] if vv == w else zero_oku for w in range(v)],
-                  axis=2)
-        for vv in range(v)])                              # (V, O, K, V, U)
     gdotu_obst = jnp.einsum("voku,vu->vok", gv, uv)
     rhs_obst = gdotu_obst - c_obst
 
     # Coupling masks: dropped constraints become 0·u <= big (trivially slack).
     big = jnp.asarray(1e10, u.dtype)
-    g_pair = g_pair * sys.pair_mask[:, None, None, None]
+    gi = gi * sys.pair_mask[:, None, None]
+    gj = gj * sys.pair_mask[:, None, None]
     rhs_pair = jnp.where(sys.pair_mask[:, None] > 0, rhs_pair, big)
-    g_obst = g_obst * sys.obst_mask[:, :, None, None, None]
+    gv = gv * sys.obst_mask[:, :, None, None]
     rhs_obst = jnp.where(sys.obst_mask[:, :, None] > 0, rhs_obst, big)
 
-    G = jnp.concatenate([
+    rhs = jnp.concatenate([rhs_pair.reshape(-1), rhs_obst.reshape(-1)])
+    return gi, gj, gv, rhs
+
+
+def scatter_slabs(v: int, gi, gj, gob, dtype=None):
+    """Assemble the dense stacked ``G (C, n)`` from row slabs (the scatter
+    half of the old monolithic ``linearize``; kept for the dense QP path
+    and as the oracle-parity layout)."""
+    pairs = _static_pairs(v)
+    p, k, hu = gi.shape[0], gob.shape[2], gob.shape[3]
+    n = v * hu
+    dtype = dtype or gi.dtype
+    zero_ku = jnp.zeros((k, hu), dtype)
+    if pairs:
+        g_pair = jnp.stack([
+            jnp.stack([gi[pp] if i == w else (gj[pp] if j == w else zero_ku)
+                       for w in range(v)], axis=1)
+            for pp, (i, j) in enumerate(pairs)])          # (P, K, V, U)
+    else:
+        g_pair = jnp.zeros((0, k, v, hu), dtype)
+    o = gob.shape[1]
+    zero_oku = jnp.zeros((o, k, hu), dtype)
+    g_obst = jnp.stack([
+        jnp.stack([gob[vv] if vv == w else zero_oku for w in range(v)],
+                  axis=2)
+        for vv in range(v)])                              # (V, O, K, V, U)
+    return jnp.concatenate([
         g_pair.reshape(-1, n),
         g_obst.reshape(-1, n),
     ], axis=0)
-    rhs = jnp.concatenate([rhs_pair.reshape(-1), rhs_obst.reshape(-1)])
-    return G, rhs
+
+
+def linearize(sys: ConstraintSystem, u: jax.Array):
+    """Linearize every constraint at ``u``: rows ``g`` with ``g @ x <= rhs``.
+
+    Equivalent to the reference's ``Psi^T + 2 u^T Phi`` rows and
+    ``u^T Phi u - gamma`` rhs (SCP_controller.py:100-113) computed from the
+    position structure. Returns ``(G (C, n), rhs (C,))`` with
+    C = P*K + V*O*K, n = V*hu. (Thin dense wrapper over
+    :func:`linearize_slabs` + :func:`scatter_slabs` — the masks commute
+    with the scatter, so this is bitwise the old monolithic assembly.)
+    """
+    v = sys.b3.shape[0]
+    gi, gj, gob, rhs = linearize_slabs(sys, u)
+    return scatter_slabs(v, gi, gj, gob, dtype=u.dtype), rhs
 
 
 class Violations(NamedTuple):

@@ -368,7 +368,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      p_blocks=None, correctors: int = 0,
                      slack_schur: bool = False,
                      certificate: bool = True,
-                     g_struct: tuple | None = None) -> QPSolution:
+                     g_struct: tuple | None = None,
+                     g_slabs: tuple | None = None) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -397,6 +398,16 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     the Jacobi-scaled KKT matrix itself in VMEM — the dense per-iteration
     ``G^T W_g G`` MXU dot, its layout transpose, and the K HBM round trip
     (measured ~45% of the fused loop) all disappear. Ignored elsewhere.
+
+    ``g_slabs = (gi (B,P,K,U), gj (B,P,K,U), gob (B,V,O,K,U))``: the same
+    rows delivered directly as slabs (``constraints.linearize_slabs``,
+    slack column NOT included — it is the implicit trailing ``-1``).
+    When given together with an engaged ``g_struct``, the mostly-zero
+    dense ``G`` argument is never read: equilibration, the setup and
+    certificate matvecs, and the kernel inputs all come from the slabs,
+    so XLA dead-code-eliminates the caller's dense scatter (~40 MB per
+    SCP iteration at B=1024). ``G`` must still be passed for the
+    fallback paths (which is free when unused).
 
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
@@ -446,12 +457,41 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             p_blocks = jnp.concatenate([
                 p_blocks,
                 jnp.broadcast_to(jnp.eye(d_, dtype=dtype), (e, nb_, d_, d_))])
+        if g_slabs is not None:
+            g_slabs = tuple(
+                jnp.concatenate([s, jnp.zeros((e,) + s.shape[1:], dtype)])
+                for s in g_slabs)
     B = b_pad
 
+    # Structured mode: the fused kernel forms K from per-pair row slabs,
+    # so the dense lane-layout G copy is never needed — the few setup and
+    # certificate matvecs run as XLA einsums instead. With ``g_slabs`` the
+    # dense G argument itself is never read (its scatter DCEs away).
+    use_struct = (g_struct is not None and fixed_iters is not None
+                  and slack_schur and (n - 1) % 8 == 0
+                  and p_blocks is not None)
+    use_slabs = use_struct and g_slabs is not None
+
     # --- equilibration (canonical, once per solve) ---
-    row_norm = jnp.linalg.norm(G, axis=2)                     # (B, mg)
-    d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
-    G_c = G * d_row[:, :, None]                               # canonical
+    if use_slabs:
+        gi_b, gj_b, gob_b = g_slabs
+        # row norms in row order [pairs | obstacles]; every avoidance row
+        # also carries the implicit -1 slack coefficient (hence the +1).
+        row_norm = jnp.sqrt(jnp.concatenate([
+            (jnp.sum(gi_b * gi_b, -1)
+             + jnp.sum(gj_b * gj_b, -1)).reshape(B, -1),
+            jnp.sum(gob_b * gob_b, -1).reshape(B, -1),
+        ], axis=1) + 1.0)                                     # (B, mg)
+        d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
+        pk = gi_b.shape[1] * gi_b.shape[2]
+        d_pairk = d_row[:, :pk].reshape(gi_b.shape[:3])
+        gi_c = gi_b * d_pairk[..., None]
+        gj_c = gj_b * d_pairk[..., None]
+        gob_c = gob_b * d_row[:, pk:].reshape(gob_b.shape[:4])[..., None]
+    else:
+        row_norm = jnp.linalg.norm(G, axis=2)                 # (B, mg)
+        d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
+        G_c = G * d_row[:, :, None]                           # canonical
     if p_blocks is not None:
         # P == blockdiag(p_blocks) + diagonal tail: every P-derived scalar
         # comes from the compact statement, so the dense P is never read on
@@ -467,13 +507,6 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)            # (B,)
     P_s = P * cost_scale[:, None, None]
 
-    # Structured mode: the fused kernel forms K from per-pair row slabs, so
-    # the dense lane-layout G copy is never needed — the few setup and
-    # certificate matvecs run as XLA einsums on G_c instead.
-    use_struct = (g_struct is not None and fixed_iters is not None
-                  and slack_schur and (n - 1) % 8 == 0
-                  and p_blocks is not None)
-
     # everything below lives as (dim, B) — batch on lanes
     def t(a):                                                 # (B, d) -> (d, B)
         return jnp.transpose(a, (1, 0))
@@ -481,12 +514,45 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     if use_struct:
         mg_pad = pll._pad_to(mg, pll._MV_MB)
         _HI = jax.lax.Precision.HIGHEST
+        if use_slabs:
+            pairs_s0, obst_veh0, hp_s0, hu_s0 = g_struct
+            nu0 = n - 1
+            xv_shape0 = nu0 // hu_s0
+            pi_idx = jnp.asarray([i for i, _ in pairs_s0], jnp.int32)
+            pj_idx = jnp.asarray([j for _, j in pairs_s0], jnp.int32)
 
-        def gmv(x):                                           # (n,B)->(mg,B)
-            return jnp.einsum("bmn,nb->mb", G_c, x, precision=_HI)
+            def gmv(x):                                       # (n,B)->(mg,B)
+                # slab einsums; the implicit slack column adds -d_row * w
+                xv = t(x[:nu0]).reshape(B, -1, hu_s0)         # (B, V, U)
+                rows_p = (jnp.einsum("bpku,bpu->bpk", gi_c, xv[:, pi_idx],
+                                     precision=_HI)
+                          + jnp.einsum("bpku,bpu->bpk", gj_c,
+                                       xv[:, pj_idx], precision=_HI))
+                rows_o = jnp.einsum("bvoku,bvu->bvok", gob_c, xv,
+                                    precision=_HI)
+                rows = jnp.concatenate(
+                    [rows_p.reshape(B, -1), rows_o.reshape(B, -1)], axis=1)
+                return t(rows) - d_row.T * x[nu0][None, :]
 
-        def gtmv(v):                                          # (mg,B)->(n,B)
-            return jnp.einsum("bmn,mb->nb", G_c, v, precision=_HI)
+            def gtmv(v):                                      # (mg,B)->(n,B)
+                pk0 = gi_c.shape[1] * gi_c.shape[2]
+                vp = t(v[:pk0]).reshape(gi_c.shape[:3])       # (B, P, K)
+                vo = t(v[pk0:]).reshape(gob_c.shape[:4])      # (B, V, O, K)
+                ci = jnp.einsum("bpku,bpk->bpu", gi_c, vp, precision=_HI)
+                cj = jnp.einsum("bpku,bpk->bpu", gj_c, vp, precision=_HI)
+                acc = jnp.zeros((B, xv_shape0, hu_s0), dtype) \
+                    .at[:, pi_idx].add(ci).at[:, pj_idx].add(cj)
+                acc = acc + jnp.einsum("bvoku,bvok->bvu", gob_c, vo,
+                                       precision=_HI)
+                slack = -jnp.sum(d_row * t(v), axis=1)        # (B,)
+                return jnp.concatenate(
+                    [t(acc.reshape(B, nu0)), slack[None, :]], axis=0)
+        else:
+            def gmv(x):                                       # (n,B)->(mg,B)
+                return jnp.einsum("bmn,nb->mb", G_c, x, precision=_HI)
+
+            def gtmv(v):                                      # (mg,B)->(n,B)
+                return jnp.einsum("bmn,mb->nb", G_c, v, precision=_HI)
     else:
         # lane-layout copies: ONE transpose each per solve, loop-invariant
         G_lane = pll.to_lane3(G_c)                            # (mg', n_pad, B)
@@ -681,22 +747,38 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             hu8 = pll._pad_to(hu_s, 8)
             ob0 = len(pairs_s) * hp_s
 
-            def _slab(parts):    # list of (B, hp, hu) -> (C, hp, hu8, B)
-                s = jnp.transpose(jnp.stack(parts), (0, 2, 3, 1))
+            def _pad_u(s):       # (C, hp, hu, B) -> (C, hp, hu8, B)
                 return jnp.pad(
                     s, ((0, 0), (0, 0), (0, hu8 - hu_s), (0, 0)))
 
-            gi_sl = _slab([
-                G_c[:, p * hp_s:(p + 1) * hp_s, i * hu_s:(i + 1) * hu_s]
-                for p, (i, j) in enumerate(pairs_s)])
-            gj_sl = _slab([
-                G_c[:, p * hp_s:(p + 1) * hp_s, j * hu_s:(j + 1) * hu_s]
-                for p, (i, j) in enumerate(pairs_s)])
-            gob_sl = _slab([
-                G_c[:, ob0 + o * hp_s:ob0 + (o + 1) * hp_s,
-                    v * hu_s:(v + 1) * hu_s]
-                for o, v in enumerate(obst_veh)]) if obst_veh else None
-            gsl_sl = lane_pad(t(G_c[:, :, n - 1]), mg_pad, 0.0)
+            if use_slabs:
+                # equilibrated slabs straight from the caller's
+                # linearization — the dense G was never read.
+                gi_sl = _pad_u(jnp.transpose(gi_c, (1, 2, 3, 0)))
+                gj_sl = _pad_u(jnp.transpose(gj_c, (1, 2, 3, 0)))
+                gob_sl = _pad_u(jnp.transpose(
+                    gob_c.reshape((B, -1) + gob_c.shape[3:]),
+                    (1, 2, 3, 0))) if obst_veh else None
+                gsl_sl = lane_pad(t(-d_row), mg_pad, 0.0)
+            else:
+
+                def _slab(parts):   # list of (B, hp, hu) -> (C, hp, hu8, B)
+                    return _pad_u(
+                        jnp.transpose(jnp.stack(parts), (0, 2, 3, 1)))
+
+                gi_sl = _slab([
+                    G_c[:, p * hp_s:(p + 1) * hp_s,
+                        i * hu_s:(i + 1) * hu_s]
+                    for p, (i, j) in enumerate(pairs_s)])
+                gj_sl = _slab([
+                    G_c[:, p * hp_s:(p + 1) * hp_s,
+                        j * hu_s:(j + 1) * hu_s]
+                    for p, (i, j) in enumerate(pairs_s)])
+                gob_sl = _slab([
+                    G_c[:, ob0 + o * hp_s:ob0 + (o + 1) * hp_s,
+                        v * hu_s:(v + 1) * hu_s]
+                    for o, v in enumerate(obst_veh)]) if obst_veh else None
+                gsl_sl = lane_pad(t(G_c[:, :, n - 1]), mg_pad, 0.0)
 
             def fori_body(_, state):
                 xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state

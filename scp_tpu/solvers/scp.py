@@ -315,7 +315,14 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
 
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)
-        G_c, rhs = jax.vmap(con.linearize)(sys, c.u)
+        gi_b, gj_b, gob_b, rhs = jax.vmap(
+            lambda s, u: con.linearize_slabs(s, u))(sys, c.u)
+        # Dense G for the fallback paths only: when the structured fused
+        # QP engages it never reads G, so XLA dead-code-eliminates this
+        # scatter (~40 MB/iteration at B=1024).
+        G_c = jax.vmap(
+            lambda gi, gj, go: con.scatter_slabs(v, gi, gj, go, dtype)
+        )(gi_b, gj_b, gob_b)
         G = jnp.concatenate([G_c, slack_col], axis=2)
         x0 = jnp.concatenate([c.u, jnp.zeros((b, 1), dtype)], axis=1)
         sol = qp.solve_qp_batched(P_qp, q_qp, G, rhs, lb, ub,
@@ -327,7 +334,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   slack_schur=True,
                                   certificate=qp_certificate,
                                   use_pallas=qp_use_pallas,
-                                  g_struct=g_struct)
+                                  g_struct=g_struct,
+                                  g_slabs=(gi_b, gj_b, gob_b))
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)
