@@ -436,7 +436,8 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                          reg_rel: float = 3e-6,
                          pb_dims: tuple[int, int] | None = None,
                          n_cor: int = 0, schur_slack: bool = False,
-                         g_struct: tuple | None = None):
+                         g_struct: tuple | None = None,
+                         n_iters: int = 1):
     """Build the fused-iteration kernel for static sizes.
 
     Layout: mg_pad = pad(mg, 32) G rows, n_pad = pad_dim(n) variables;
@@ -466,6 +467,14 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     ~4x fewer MACs (the dense contraction multiplies mostly zeros) and
     zero HBM traffic for K. Requires ``schur_slack`` (the slack column
     never enters the factored block) and ``pb_dims``.
+
+    ``n_iters > 1`` (structured mode only): the kernel runs that many
+    Mehrotra iterations per tile in ONE launch, via a second grid
+    dimension that revisits the same blocks — the slabs, P blocks and the
+    state stay VMEM-resident across iterations (state lives in the
+    OUTPUT blocks, initialized from the inputs at iteration 0), so the
+    per-iteration launch, state round-trip, and slab re-DMA costs are
+    paid once per QP solve instead of once per iteration.
     """
     mg_pad = _pad_to(mg, _MV_MB)
     n_pad = pad_dim(n)
@@ -498,6 +507,9 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         n_veh_s = nu // hu_s
         assert n_veh_s * hu_s == nu and pb_dims == (n_veh_s, hu_s), \
             (pb_dims, nu, hu_s)
+    assert n_iters == 1 or g_struct is not None, \
+        "multi-iteration kernels need in-kernel K formation (g_struct)"
+    multi_iter = g_struct is not None and n_iters >= 1
 
     def kernel(*refs):
         refs = list(refs)
@@ -529,9 +541,38 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         mk_n = nrow < n           # real variables / box rows
         inf = jnp.float32(jnp.inf)
 
-        x = x_ref[...]
-        sg, su, sl = sg_ref[...], su_ref[...], sl_ref[...]
-        zg, zu, zl = zg_ref[...], zu_ref[...], zl_ref[...]
+        if multi_iter:
+            # Iteration-revisited state: the second grid dimension maps
+            # every block to the same indices, so the OUTPUT blocks stay
+            # VMEM-resident across iterations and double as the loop
+            # state. Iteration 0 seeds them from the inputs.
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                xo_ref[...] = x_ref[...]
+                sgo_ref[...] = sg_ref[...]
+                suo_ref[...] = su_ref[...]
+                slo_ref[...] = sl_ref[...]
+                zgo_ref[...] = zg_ref[...]
+                zuo_ref[...] = zu_ref[...]
+                zlo_ref[...] = zl_ref[...]
+                rpgo_ref[...] = rpg_ref[...]
+                rpuo_ref[...] = rpu_ref[...]
+                rplo_ref[...] = rpl_ref[...]
+                scalo_ref[...] = scal_ref[...]
+
+            x_src, sg_src, su_src, sl_src = xo_ref, sgo_ref, suo_ref, slo_ref
+            zg_src, zu_src, zl_src = zgo_ref, zuo_ref, zlo_ref
+            rpg_src, rpu_src, rpl_src = rpgo_ref, rpuo_ref, rplo_ref
+            scal_src = scalo_ref
+        else:
+            x_src, sg_src, su_src, sl_src = x_ref, sg_ref, su_ref, sl_ref
+            zg_src, zu_src, zl_src = zg_ref, zu_ref, zl_ref
+            rpg_src, rpu_src, rpl_src = rpg_ref, rpu_ref, rpl_ref
+            scal_src = scal_ref
+
+        x = x_src[...]
+        sg, su, sl = sg_src[...], su_src[...], sl_src[...]
+        zg, zu, zl = zg_src[...], zu_src[...], zl_src[...]
         q = q_ref[...]
         if pb_dims is not None:
             # P @ x from the resident blocks + diagonal tail (pad rows of x
@@ -635,9 +676,9 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         # G x + s - h in f32 leaves ~1e-7 noise that active-row barrier
         # weights (z/s up to 1e10) amplify into the Newton rhs — see
         # scp_tpu/solvers/qp.py.
-        rp_g = jnp.where(mk_g, rpg_ref[...], 0.0)
-        rp_u = jnp.where(mk_n, rpu_ref[...], 0.0)
-        rp_l = jnp.where(mk_n, rpl_ref[...], 0.0)
+        rp_g = jnp.where(mk_g, rpg_src[...], 0.0)
+        rp_u = jnp.where(mk_n, rpu_src[...], 0.0)
+        rp_l = jnp.where(mk_n, rpl_src[...], 0.0)
         mu = (jnp.sum(jnp.where(mk_g, sg * zg, 0.0), axis=0)
               + jnp.sum(jnp.where(mk_n, su * zu + sl * zl, 0.0), axis=0)) \
             / m_true                                     # (TB,)
@@ -933,8 +974,8 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                         & jnp.isfinite(sl_n) & jnp.isfinite(zl_n), axis=0))
 
         # freeze-on-stall (matches solve_qp's fori body)
-        mu_prev = scal_ref[0, :]
-        frozen = scal_ref[1, :] > 0.5
+        mu_prev = scal_src[0, :]
+        frozen = scal_src[1, :] > 0.5
         stalled = (mu > 0.7 * mu_prev) & (mu < tol * 1e3)
         converged = mu < tol
         new_frozen = frozen | stalled | converged | ~ok
@@ -1051,7 +1092,7 @@ def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
                             x, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
                             *, g_struct, mg: int, n: int, m_true: int,
                             tol: float, reg_rel: float = 3e-6,
-                            n_cor: int = 0):
+                            n_cor: int = 0, n_iters: int = 1):
     """One fused Mehrotra iteration on the PAIR-STRUCTURED constraint rows.
 
     Instead of a pre-formed K and a dense lane-layout G, the kernel takes
@@ -1065,6 +1106,10 @@ def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
     gsl: (mg_pad, B) the equilibrated slack column (signed);
     pb: (nb, d, d8, B) block-diagonal P statement (required);
     vectors as in :func:`ipm_iterate_lane`.
+
+    ``n_iters``: Mehrotra iterations per launch — a second (innermost)
+    grid dimension revisits the same blocks, so slabs/P/state stay in
+    VMEM across iterations (see ``make_ipm_iter_kernel``).
     """
     pairs_s, obst_veh, hp_s, hu_s = g_struct
     B = q.shape[1]
@@ -1073,25 +1118,25 @@ def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
     nb, dd = pb.shape[0], pb.shape[1]
     kernel, _, _ = make_ipm_iter_kernel(
         mg, n, m_true, tol, reg_rel, pb_dims=(nb, dd), n_cor=n_cor,
-        schur_slack=True, g_struct=g_struct)
+        schur_slack=True, g_struct=g_struct, n_iters=n_iters)
     hu8 = _pad_to(hu_s, _SUBLANE)
     d8 = _pad_to(dd, _SUBLANE)
     nu = n - 1
     f32 = jnp.float32
-    vec_m = pl.BlockSpec((mg_pad, TB), lambda i: (0, i),
+    vec_m = pl.BlockSpec((mg_pad, TB), lambda i, it: (0, i),
                          memory_space=pltpu.VMEM)
-    vec_n = pl.BlockSpec((n_pad, TB), lambda i: (0, i),
+    vec_n = pl.BlockSpec((n_pad, TB), lambda i, it: (0, i),
                          memory_space=pltpu.VMEM)
-    vec_s = pl.BlockSpec((_SUBLANE, TB), lambda i: (0, i),
+    vec_s = pl.BlockSpec((_SUBLANE, TB), lambda i, it: (0, i),
                          memory_space=pltpu.VMEM)
 
     def slab_spec(p_count):
         return pl.BlockSpec((p_count, hp_s, hu8, TB),
-                            lambda i: (0, 0, 0, i),
+                            lambda i, it: (0, 0, 0, i),
                             memory_space=pltpu.VMEM)
 
     pb = jnp.pad(pb, ((0, 0), (0, 0), (0, d8 - dd), (0, 0)))
-    p_spec = pl.BlockSpec((nb, dd, d8, TB), lambda i: (0, 0, 0, i),
+    p_spec = pl.BlockSpec((nb, dd, d8, TB), lambda i, it: (0, 0, 0, i),
                           memory_space=pltpu.VMEM)
     in_specs = [slab_spec(len(pairs_s)), slab_spec(len(pairs_s))]
     args = [gi, gj]
@@ -1110,7 +1155,7 @@ def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
         interpret=INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-        grid=(B // TB,),
+        grid=(B // TB, n_iters),
         in_specs=in_specs,
         out_specs=[vec_n, vec_m, vec_n, vec_n, vec_m, vec_n, vec_n,
                    vec_m, vec_n, vec_n, vec_s],

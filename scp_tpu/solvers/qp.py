@@ -780,13 +780,16 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                     for o, v in enumerate(obst_veh)]) if obst_veh else None
                 gsl_sl = lane_pad(t(G_c[:, :, n - 1]), mg_pad, 0.0)
 
-            def fori_body(_, state):
-                xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = state
+            def run_iters(state):
+                # ALL fixed iterations in ONE launch: the kernel's second
+                # grid dimension revisits each tile's blocks, keeping
+                # slabs/P/state VMEM-resident across iterations.
                 return pll.ipm_iterate_lane_struct(
                     gi_sl, gj_sl, gob_sl, gsl_sl, pb_lane, q_lane, pdiag,
-                    xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal,
+                    *state,
                     g_struct=g_struct, mg=mg, n=n, m_true=m, tol=tol,
-                    reg_rel=reg_rel_f, n_cor=correctors)
+                    reg_rel=reg_rel_f, n_cor=correctors,
+                    n_iters=fixed_iters)
         else:
             if use_schur:
                 G_k = G_c[:, :, :n - 1]              # loop-invariant slice
@@ -825,9 +828,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                     pb=pb_arg, n_cor=correctors, schur_slack=use_schur)
 
         t2 = lambda a: jnp.transpose(a, (1, 0))  # noqa: E731
-        xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = jax.lax.fori_loop(
-            0, fixed_iters, fori_body,
-            (xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal))
+        state0 = (xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal)
+        if use_struct:
+            out_state = run_iters(state0)
+        else:
+            out_state = jax.lax.fori_loop(0, fixed_iters, fori_body, state0)
+        xl, sg, su, sl, zg, zu, zl, rpg, rpu, rpl, scal = out_state
         x = xl[:n]
         s = jnp.concatenate([sg[:mg], su[:n], sl[:n]])
         z = jnp.concatenate([zg[:mg], zu[:n], zl[:n]])
