@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def _build(args, dtype):
+    from scp_tpu import config as config_lib
     from scp_tpu.scenarios import builders
 
     kw = {}
@@ -46,10 +47,9 @@ def _build(args, dtype):
     if args.noise:
         overrides["noise_std"] = 3e-6 * 100  # reference per-eval std, per-tick
     if dtype == jnp.float32:
-        overrides.setdefault("delta_tol_rel", 1e-4)
-        overrides.setdefault("u_step_tol", 1e-5)
-        overrides.setdefault("qp_tol", 1e-6)
-        overrides.setdefault("qp_fixed_iters", 14)
+        # bench-calibrated settings, single source (config.TUNED_F32_OVERRIDES)
+        for k, v in config_lib.TUNED_F32_OVERRIDES.items():
+            overrides.setdefault(k, v)
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg, data
@@ -67,12 +67,30 @@ def cmd_run(args):
     cfg, data = _build(args, dtype)
     n_steps = args.steps or cfg.n_sim
 
-    sim = jax.jit(functools.partial(engine.simulate, cfg, n_steps=n_steps))
     t0 = time.time()
-    if args.mc > 1:
+    if getattr(args, "plot", False) and args.mc == 1:
+        # live per-step rendering (reference doOnlinePlot, main.py:208-209)
+        from scp_tpu.viz import plot as plot_lib
+
+        carry, out = plot_lib.run_live(
+            cfg, data, n_steps=n_steps, key=jax.random.PRNGKey(args.seed),
+            save_dir=args.frames or None)
+    elif args.mc > 1:
+        # Monte-Carlo batch: straggler-repacked batched stepping with the
+        # calibrated phase schedule (same engine path as bench.py).
+        from scp_tpu import config as config_lib
+
         keys = jax.random.split(jax.random.PRNGKey(args.seed), args.mc)
-        carry, out = jax.vmap(lambda k: sim(data, key=k))(keys)
+        data_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (args.mc,) + x.shape), data)
+        phases = (config_lib.TUNED_F32_PHASES
+                  if dtype == jnp.float32 else None)
+        carry, out = jax.jit(functools.partial(
+            engine.simulate_batch, cfg, n_steps=n_steps, phases=phases))(
+                data_b, keys)
     else:
+        sim = jax.jit(functools.partial(engine.simulate, cfg,
+                                        n_steps=n_steps))
         carry, out = sim(data, key=jax.random.PRNGKey(args.seed))
     # block_until_ready does not sync through the TPU tunnel (CLAUDE.md) —
     # force a scalar readback to time honestly.
@@ -92,7 +110,13 @@ def cmd_run(args):
         "final_max_violation": float(np.asarray(out.max_violation).max()),
         "clamp_mag_events": int(np.asarray(out.clamp_mag_events).sum()),
         "clamp_rate_events": int(np.asarray(out.clamp_rate_events).sum()),
+        # reference SCP_controller.py:391-393 warning, as a count
+        "feas_disagree_steps": int(np.asarray(out.feas_disagree).sum()),
+        "mean_qp_iters": float(np.asarray(out.qp_iters).mean()),
     }
+    if cfg.controller == "side_selection":
+        summary["sides_stable_frac"] = float(
+            np.asarray(out.sides_stable).mean())
     print(json.dumps(summary, indent=2))
 
     if args.out:
@@ -103,7 +127,8 @@ def cmd_run(args):
         results.export_reference_json(args.export_json, cfg, data, out)
         print(f"exported reference-format JSON to {args.export_json}",
               file=sys.stderr)
-    if args.frames:
+    if args.frames and not (getattr(args, "plot", False) and args.mc == 1):
+        # (run_live already saved per-step frames on the --plot path)
         from scp_tpu.utils.results import sim_outputs_to_arrays
         from scp_tpu.viz import plot
 
@@ -127,14 +152,14 @@ def cmd_sweep(args):
         args.scenario, args.batch, key=jax.random.PRNGKey(args.seed),
         dtype=dtype, **({"n_veh": args.n_veh} if args.n_veh
                         and args.scenario != "frog" else {}))
+    from scp_tpu import config as config_lib
+
     overrides = {}
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if dtype == jnp.float32:
-        overrides.setdefault("delta_tol_rel", 1e-4)
-        overrides.setdefault("u_step_tol", 1e-5)
-        overrides.setdefault("qp_tol", 1e-6)
-        overrides.setdefault("qp_fixed_iters", 14)
+        for k, v in config_lib.TUNED_F32_OVERRIDES.items():
+            overrides.setdefault(k, v)
     if overrides:
         cfg = cfg.replace(**overrides)
     n_steps = args.steps or cfg.n_sim
@@ -190,6 +215,10 @@ def main(argv=None):
     pr.add_argument("--out", default="")
     pr.add_argument("--export-json", default="")
     pr.add_argument("--frames", default="")
+    pr.add_argument("--plot", action="store_true",
+                    help="live per-step rendering while the loop runs "
+                         "(the reference's doOnlinePlot mode); combine "
+                         "with --frames to also save per-step PNGs")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("sweep", help="sharded batch sweep w/ checkpoints")

@@ -31,6 +31,34 @@ NU = 1  # control: steering-angle reference
 NY = 2  # output:  [x, y] position
 
 
+# ---- calibrated float32 solver configuration (single source of truth) ----
+# Consumed by bench.py, scp_tpu.cli and __graft_entry__ so every entry point
+# runs the same documented calibration (BENCHMARKS.md):
+#   * qp_fixed_iters=7 — 50-step closed-loop feasibility 0.99906 at 7 vs
+#     0.99766 at 9, equal objective (scripts/qpit_quality.py); 6 degrades
+#     the objective ~7%.
+#   * scale-free stops (delta_tol_rel / u_step_tol) + merit_patience=2 —
+#     the reference's absolute merit stop is unreachable in f32
+#     (BENCHMARKS.md "findings that shaped the design").
+# The reference's analogue is the single shared Config.py:4-26 constant bag.
+TUNED_F32_OVERRIDES: dict[str, Any] = dict(
+    delta_tol_rel=1e-4, u_step_tol=1e-5, merit_patience=2,
+    qp_tol=1e-6, qp_fixed_iters=7)
+
+# Straggler-repacking phase schedule for BATCHED f32 stepping
+# (engine.mpc_step_batch): from the warm-step done-by-k histogram (15% of
+# instances converged by iteration 3, 45% by 4, 80% by 6, 92% by 8);
+# 3 + 2/2 + 15/8 = 5.88 effective full-batch iterations. Closed-loop
+# feasibility cost of the 3-iteration first phase < 0.1%
+# (scripts/sched_quality.py).
+TUNED_F32_PHASES: tuple = ((3, 1), (2, 2), (15, 8))
+
+
+def tuned_f32(cfg: "SCPConfig", **extra: Any) -> "SCPConfig":
+    """Apply the calibrated f32 solver settings (callers may override)."""
+    return cfg.replace(**{**TUNED_F32_OVERRIDES, **extra})
+
+
 @dataclasses.dataclass(frozen=True)
 class SCPConfig:
     """Static solver/problem configuration (hashable; safe as a jit static arg).

@@ -505,6 +505,14 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         assert (P_s + VO_s) * hp_s == mg, (g_struct, mg)
         hu8 = _pad_to(hu_s, _SUBLANE)
         n_veh_s = nu // hu_s
+        # The K-formation loop zeroes the never-read upper-triangle mirror
+        # only for ENUMERATED pairs; a partial pair list would leave
+        # uninitialized VMEM that the factor's trailing updates consume
+        # arithmetically (NaN risk). Require the full triu set.
+        assert set(pairs_s) == {(i, j) for i in range(n_veh_s)
+                                for j in range(i + 1, n_veh_s)}, \
+            f"g_struct pairs must cover the full triu set of {n_veh_s} " \
+            f"vehicles; got {pairs_s}"
         assert n_veh_s * hu_s == nu and pb_dims == (n_veh_s, hu_s), \
             (pb_dims, nu, hu_s)
     assert n_iters == 1 or g_struct is not None, \

@@ -31,16 +31,72 @@ from scp_tpu.ops import constraints as con
 from scp_tpu.solvers import scp
 
 
+# Padded horizon steps place every vehicle at a distinct far-away position
+# (pair distance^2 >= 2e10 against dsafe^2 ~ 10), so the pad rows linearize
+# to the same inert ``0*u <= ~1e10`` form the coupling masks already emit
+# (constraints.linearize_slabs) and evaluate as satisfied-by-a-mile.
+_PAD_SEP = 1e5
+
+
+def padded_hp(hp: int, n_shards: int) -> int:
+    """Smallest multiple of ``n_shards`` >= hp (horizon-axis pad target)."""
+    return -(-hp // n_shards) * n_shards
+
+
+def padded_n_con(cfg, n_shards: int) -> int:
+    """Global avoidance-row count of the PADDED system (the ``n_con_total``
+    /``mg_total`` the sharded solver must be told: pad rows participate in
+    the IPM's complementarity averages like masked rows do)."""
+    return padded_hp(cfg.hp, n_shards) * (
+        cfg.n_pairs + cfg.n_veh * cfg.n_obst)
+
+
+def pad_system(sys: con.ConstraintSystem, n_shards: int
+               ) -> con.ConstraintSystem:
+    """Pad the horizon axis to a multiple of ``n_shards`` with inert steps.
+
+    Works on per-instance systems and batched ones alike (the k axis is
+    addressed from the trailing end). Pad steps have zero ``math_b`` blocks
+    and hugely separated positions, so every derived constraint row is
+    trivially satisfied and linearizes to a zero row with a large positive
+    rhs — exactly the shape of a coupling-masked row, which the QP pipeline
+    (equilibration included) already handles.
+    """
+    hp = sys.b3.shape[-3]
+    pad = padded_hp(hp, n_shards) - hp
+    if pad == 0:
+        return sys
+    dt = sys.b3.dtype
+    v = sys.b3.shape[-4]
+
+    def zpad(a):
+        shape = list(a.shape)
+        shape[-3] = pad
+        return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=-3)
+
+    sep = (jnp.arange(v, dtype=dt) + 1.0) * jnp.asarray(_PAD_SEP, dt)
+    c_shape = sys.const3.shape[:-2] + (pad, sys.const3.shape[-1])
+    c_pad = jnp.broadcast_to(sep[:, None, None], c_shape)
+    const3 = jnp.concatenate([sys.const3, c_pad], axis=-2)
+    o_shape = sys.obst_pos.shape[:-2] + (pad, sys.obst_pos.shape[-1])
+    o_pad = jnp.full(o_shape, -_PAD_SEP, dt)
+    obst_pos = jnp.concatenate([sys.obst_pos, o_pad], axis=-2)
+    return sys._replace(b3=zpad(sys.b3), const3=const3, obst_pos=obst_pos,
+                        b3i=zpad(sys.b3i), b3j=zpad(sys.b3j))
+
+
 def shard_system(sys: con.ConstraintSystem, shard_idx, n_shards: int
                  ) -> con.ConstraintSystem:
     """This shard's horizon block of a full constraint system.
 
     ``shard_idx`` may be traced (``jax.lax.axis_index``); the block length
-    hp/n_shards is static. Every k-indexed field is sliced; pair topology,
-    safety distances and masks are k-free and stay whole.
+    ceil(hp/n_shards) is static — non-divisible horizons are padded with
+    inert steps first (:func:`pad_system`). Every k-indexed field is
+    sliced; pair topology, safety distances and masks are k-free and stay
+    whole.
     """
+    sys = pad_system(sys, n_shards)
     hp = sys.b3.shape[1]
-    assert hp % n_shards == 0, f"hp={hp} not divisible by {n_shards} shards"
     kl = hp // n_shards
     k0 = shard_idx * kl
 
@@ -83,7 +139,8 @@ def solve_scp_sharded(cfg, problems: scp.SCPProblem, u_init: jax.Array,
     from jax.experimental.shard_map import shard_map
 
     n_model = mesh.shape["model"]
-    n_con_total = cfg.n_constraints
+    n_con_total = padded_n_con(cfg, n_model)
+    problems = problems._replace(sys=pad_system(problems.sys, n_model))
 
     def per_shard(prob, u0):
         run = lambda p, u: scp.solve_scp(            # noqa: E731

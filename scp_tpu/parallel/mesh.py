@@ -25,6 +25,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1:
+        raise ValueError(
+            f"n_model={n_model} needs at least that many devices; "
+            f"have {len(devices)}")
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
 
@@ -39,6 +43,13 @@ def shard_batch(tree, mesh: Mesh):
     """
     sharding = NamedSharding(mesh, P("data"))
     multiprocess = jax.process_count() > 1
+    n_data = int(mesh.shape["data"])
+    n = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    if n % n_data != 0:
+        raise ValueError(
+            f"batch size {n} is not divisible by the mesh's data axis "
+            f"({n_data} shards); pad the batch or resize the mesh "
+            f"(e.g. make_mesh(n_data=...))")
 
     def put(x):
         if not multiprocess:

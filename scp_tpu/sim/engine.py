@@ -80,6 +80,12 @@ class StepOutput(NamedTuple):
     # (|U| > uMax + 1e-3 / |dU| > duLim + 1e-3 on the RAW prediction before
     # clamping — the reference's warning printout, main.py:144-161, minus
     # its Q8 always-true flag bug)
+    feas_disagree: jax.Array      # 1 when the QCQP-based and the
+    # trajectory-distance feasibility criteria DISAGREE on this step —
+    # the reference's "feasibility criteria disagree" warning
+    # (SCP_controller.py:391-393), surfaced as a countable diagnostic
+    sides_stable: jax.Array       # side_selection controller: reselection
+    # fixed point reached this step (True for the SCP controller)
 
 
 def dynamic_steering_limit(cfg: SCPConfig, data: ScenarioData,
@@ -245,7 +251,8 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
 
 
 def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
-              res, aux, key, key_noise) -> tuple[SimCarry, StepOutput]:
+              res, aux, key, key_noise,
+              sides_stable=None) -> tuple[SimCarry, StepOutput]:
     """Post-solve half of the MPC step: clamps, plant rollout, metrics."""
     sys_, u_max, ref_pts, x0, obst_pos, delay_traj = aux
     traj_pred, U_raw = scp.forward_u(sys_, res.u)
@@ -300,7 +307,13 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         max_violation=res.max_violation, scp_iters=res.iters,
         qp_iters=res.qp_iters, pred_obj=pred_obj,
         pred_feasible=pred_feasible, delay_traj=delay_traj,
-        clamp_mag_events=mag_events, clamp_rate_events=rate_events)
+        clamp_mag_events=mag_events, clamp_rate_events=rate_events,
+        # "feasibility criteria disagree" (SCP_controller.py:391-393):
+        # QCQP evaluation (with dsafe_extra margin) vs raw trajectory
+        # distance — countable instead of a printed warning.
+        feas_disagree=(res.feasible != pred_feasible).astype(jnp.int32),
+        sides_stable=(jnp.array(True) if sides_stable is None
+                      else sides_stable))
     return new_carry, out
 
 
@@ -339,8 +352,10 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         res = scp.SCPResult(
             u=ss.u, feasible=ss.feasible, converged=ss.converged,
             obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
-            iters=ss.rounds, qp_iters=jnp.asarray(0),
+            iters=ss.rounds, qp_iters=ss.qp_iters,
             qp_fails=jnp.asarray(0))
+        return step_post(cfg, data, carry, res, aux, key, key_noise,
+                         sides_stable=ss.sides_stable)
     else:
         raise ValueError(f"unknown controller {cfg.controller!r}")
 
@@ -371,7 +386,7 @@ def mpc_step_horizon(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     res = scp.solve_scp(problem._replace(sys=local_sys), carry.u_warm,
                         max_scp_iter=cfg.max_scp_iter,
                         axis_name=axis_name,
-                        n_con_total=cfg.n_constraints,
+                        n_con_total=horizon.padded_n_con(cfg, n_shards),
                         **_scp_kwargs(cfg))
     return step_post(cfg, data, carry, res, aux, key, key_noise)
 
@@ -419,6 +434,30 @@ def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:
         # tick_of_measurement = max(0, 0 - ticks_delay_x) -> initial state
         state_meas=data.x0,
     )
+
+
+def simulate_batch(cfg: SCPConfig, data: ScenarioData, keys=None,
+                   n_steps: int | None = None,
+                   phases: tuple | None = None):
+    """Batched closed loop: ``lax.scan`` over :func:`mpc_step_batch`.
+
+    ``data`` carries a leading batch axis (broadcast a single scenario for
+    Monte-Carlo over ``keys``). With ``phases`` (e.g.
+    ``config.TUNED_F32_PHASES``) each step runs the straggler-repacked
+    batched SCP — the bench-calibrated production path. Returns
+    ``(final_carries, outputs)`` with outputs stacked (n_steps, B, ...).
+    """
+    b = jax.tree_util.tree_leaves(data)[0].shape[0]
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+    carry = jax.vmap(lambda d, k: init_carry(cfg, d, k))(data, keys)
+    n = n_steps if n_steps is not None else cfg.n_sim
+    kw = {"phases": phases} if phases is not None else {}
+
+    def step(c, _):
+        return mpc_step_batch(cfg, data, c, **kw)
+
+    return jax.lax.scan(step, carry, None, length=n)
 
 
 def simulate(cfg: SCPConfig, data: ScenarioData, key=None,

@@ -48,6 +48,9 @@ class SideSelectionResult(NamedTuple):
     sides_stable: jax.Array  # bool — the reselection fixed point was reached
     # (the last round's side assignment equals the one its own solution
     # induces, i.e. another round would solve the identical QP)
+    qp_iters: jax.Array      # total inner-QP (IPM) iterations actually run,
+    # summed over every solved QP: all first-round candidates + every
+    # reselection round (the controller's true solver cost)
 
 
 def select_sides(delta: jax.Array) -> jax.Array:
@@ -351,14 +354,16 @@ def solve_side_selection(sys: con.ConstraintSystem,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0)
         ok = jnp.all(jnp.isfinite(sol.x))
         u_new = jnp.where(ok, sol.x[:n], u_ref)
-        return u_new, sol.obj, sol.x[n], sol.converged & ok
+        return u_new, sol.obj, sol.x[n], sol.converged & ok, sol.iters
 
     def one_round(carry, _):
-        u_ref, _, _, _ = carry
+        u_ref, _, _, _, it_acc = carry
         sel_pair, sel_obst = _select_from_trajectory(
             sys, u_ref, obst_normals, obst_dists)
-        out = solve_with_sel(sel_pair, sel_obst, u_ref)
-        return out, (sel_pair, sel_obst)
+        u_new, obj, slack, conv, iters = solve_with_sel(
+            sel_pair, sel_obst, u_ref)
+        return ((u_new, obj, slack, conv, it_acc + iters),
+                (sel_pair, sel_obst))
 
     use_candidates = multi_candidate and sys.obst_pos.shape[0] > 0
     if use_candidates:
@@ -369,26 +374,27 @@ def solve_side_selection(sys: con.ConstraintSystem,
         _, sel_lon = _select_from_trajectory(
             sys, u_init, obst_normals, obst_dists, obst_sides=(0, 1))
         cand_obst = jnp.stack([sel_full, sel_lat, sel_lon])
-        u_c, obj_c, slack_c, conv_c = jax.vmap(
+        u_c, obj_c, slack_c, conv_c, it_c = jax.vmap(
             lambda so: solve_with_sel(sel_pair0, so, u_init))(cand_obst)
         hard_c = slack_c < jnp.asarray(1e-6, dtype)
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
         pick = jnp.argmin(jnp.where(hard_c, obj_c, big * 0.5 + slack_c))
-        init = (u_c[pick], obj_c[pick], slack_c[pick], conv_c[pick])
+        init = (u_c[pick], obj_c[pick], slack_c[pick], conv_c[pick],
+                jnp.sum(it_c))          # all candidates were actually solved
         sel0 = (sel_pair0, cand_obst[pick])
         scan_rounds = n_rounds - 1
     else:
         init = (u_init, jnp.asarray(jnp.inf, dtype),
-                jnp.asarray(0.0, dtype), jnp.array(False))
+                jnp.asarray(0.0, dtype), jnp.array(False), jnp.asarray(0))
         sel0 = _select_from_trajectory(sys, u_init, obst_normals, obst_dists)
         scan_rounds = n_rounds
 
     if scan_rounds > 0:
-        (u, obj, slack, conv), sels = jax.lax.scan(one_round, init, None,
-                                                   length=scan_rounds)
+        (u, obj, slack, conv, qp_its), sels = jax.lax.scan(
+            one_round, init, None, length=scan_rounds)
         sel_last = (sels[0][-1], sels[1][-1])
     else:
-        u, obj, slack, conv = init
+        u, obj, slack, conv, qp_its = init
         sel_last = sel0
     # Fixed-point check: the final solution's induced selection equals the
     # one the last round solved with — another round would change nothing.
@@ -400,4 +406,5 @@ def solve_side_selection(sys: con.ConstraintSystem,
     return SideSelectionResult(u=u, obj=obj, slack=slack,
                                feasible=ev.feasible, converged=conv,
                                rounds=jnp.asarray(n_rounds),
-                               sides_stable=sides_stable)
+                               sides_stable=sides_stable,
+                               qp_iters=qp_its)

@@ -402,6 +402,13 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     ``g_slabs = (gi (B,P,K,U), gj (B,P,K,U), gob (B,V,O,K,U))``: the same
     rows delivered directly as slabs (``constraints.linearize_slabs``,
     slack column NOT included — it is the implicit trailing ``-1``).
+    HARD CONTRACT: every avoidance row's slack coefficient must be exactly
+    ``G[:, :, -1] == -1`` (the SCP formulation guarantees it,
+    scp.solve_scp_stacked's ``slack_col``). The slab equilibration below
+    bakes that implicit -1 into each row norm (the ``+ 1.0``); a caller
+    whose dense G carries any other slack column would get silently
+    inconsistent scaling between the structured path and the dense
+    fallbacks — different solves, not an error.
     When given together with an engaged ``g_struct``, the mostly-zero
     dense ``G`` argument is never read: equilibration, the setup and
     certificate matvecs, and the kernel inputs all come from the slabs,
@@ -467,6 +474,15 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # so the dense lane-layout G copy is never needed — the few setup and
     # certificate matvecs run as XLA einsums instead. With ``g_slabs`` the
     # dense G argument itself is never read (its scatter DCEs away).
+    # NOTE on alignment: this gates on (n-1) % 8 == 0 but NOT hu % 8 == 0.
+    # The kernel stores vehicle blocks at v*hu sublane offsets (e.g. 20,
+    # 40, 60 for the bench's hu=20), relying on Mosaic accepting
+    # non-sublane-aligned offsets — intentional, and TPU-validated at
+    # hu=20 (bench) and hu=8 (tests). If a future Mosaic regresses on
+    # unaligned sublane stores (this project has hit such lowering breaks
+    # before, see CLAUDE.md linalg notes), symptoms will be kernel-compile
+    # errors or garbage K blocks at hu % 8 != 0 — fall back by forcing
+    # use_struct False for unaligned hu here.
     use_struct = (g_struct is not None and fixed_iters is not None
                   and slack_schur and (n - 1) % 8 == 0
                   and p_blocks is not None)

