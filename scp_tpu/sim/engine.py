@@ -348,6 +348,10 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
             slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
             constraint_tolerance=cfg.constraint_tolerance,
             n_rounds=cfg.side_selection_rounds,
+            # the reference MIQP's rows use the RAW safety distances —
+            # dsafeExtra never enters them (MIQP.py:226-227,260)
+            dsafe_pair=data.dsafe_veh[sys_.pair_i, sys_.pair_j],
+            dsafe_obst=data.dsafe_obst,
             qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol, **rect)
         res = scp.SCPResult(
             u=ss.u, feasible=ss.feasible, converged=ss.converged,

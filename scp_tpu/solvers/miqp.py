@@ -34,8 +34,12 @@ from scp_tpu.ops import constraints as con
 from scp_tpu.solvers import qp
 
 # The four axis-aligned half-plane normals of the big-M formulation
-# (MIQP.py:251,264): +x, -x, +y, -y.
-_SIDES = jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+# (MIQP.py:251,264): +x, -x, +y, -y. Kept as a HOST constant: this module
+# is imported lazily from inside jitted engine code, and a module-level
+# jnp.array created during a trace leaks that trace into later jits.
+import numpy as _np  # noqa: E402
+
+_SIDES = _np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
 
 
 class SideSelectionResult(NamedTuple):
@@ -88,7 +92,7 @@ def _rows_from_selection(sys: con.ConstraintSystem,
     n = v * hu
     dtype = sys.b3.dtype
     eye_v = jnp.eye(v, dtype=dtype)
-    sides = _SIDES.astype(dtype)
+    sides = jnp.asarray(_SIDES, dtype)
 
     # vehicle pairs: axis-aligned separation (MIQP.py:257-268)
     nvec_p = sides[sel_pair]                             # (P, K, 2)
@@ -122,29 +126,42 @@ def _rows_from_selection(sys: con.ConstraintSystem,
 
 def _select_from_trajectory(sys: con.ConstraintSystem, u_ref: jax.Array,
                             obst_normals=None, obst_dists=None,
-                            obst_sides=None):
+                            obst_sides=None, consistent_lateral=False,
+                            u_max=None, lat_commit=None):
     """Heuristic side assignment from the geometry at ``u_ref``.
 
     ``obst_sides``: optional subset of side indices the obstacle selection
     may use (e.g. (2, 3) = lateral faces only) — the candidate restriction
     of :func:`solve_side_selection`'s first round.
 
+    ``consistent_lateral``: commit each (vehicle, obstacle) to ONE lateral
+    face for the WHOLE horizon — the side maximizing the worst-case margin
+    ``min_k (n_s·delta_k - d_s)`` (``"flip"`` = the other side for
+    crossing obstacles). A per-step argmax flips sides when an obstacle
+    crosses the vehicle's path (selecting e.g. above-then-below, which no
+    dynamically-feasible trajectory realizes); an optimal integer
+    assignment in a crossing conflict holds one lateral side throughout
+    (found by the randomized enumeration audit, tests/test_miqp.py).
+
     Side score: ``n_s·delta - d_s`` (signed satisfaction margin of face s).
-    Longitudinal faces (0, 1 — along the vehicle's own track in circle
-    mode, the obstacle-frame ±x' faces in rectangle mode) are selectable
-    only where ALREADY satisfied at ``u_ref``: steering cannot materially
-    move a constant-speed vehicle along-track, so an unsatisfied
-    longitudinal face is un-actionable — an optimal integer assignment uses
-    longitudinal separation exactly on the steps where the vehicle is
-    genuinely behind/ahead, and lateral separation elsewhere (validated
-    against the enumeration oracle, tests/test_miqp.py).
+    A face that is violated at ``u_ref`` is selectable only if it is
+    REACHABLE — the margin the QP can recover through the controls,
+    estimated as ``||n_s · B_k||_1 * u_max``, covers the deficit. With
+    axis-aligned faces this reduces to the geometric fact that steering
+    cannot move a constant-speed vehicle along its own track (the
+    track-aligned gradient rows are ~0, so unsatisfied longitudinal faces
+    are un-actionable); with rotated obstacle frames a "longitudinal" face
+    can carry a large lateral gradient component and becomes correctly
+    selectable (enumeration-audit counterexample, tests/test_miqp.py).
+    Without ``u_max`` the conservative satisfied-only rule is applied to
+    the longitudinal faces.
     """
     pos = con.positions(sys, u_ref)
     d_pair = pos[sys.pair_i] - pos[sys.pair_j]           # (P, K, 2)
     sel_pair = jnp.argmax(select_sides(d_pair), axis=-1)
     d_obst = pos[:, None] - sys.obst_pos[None]           # (V, O, K, 2)
     if obst_normals is None:
-        normals = jnp.broadcast_to(_SIDES.astype(d_obst.dtype),
+        normals = jnp.broadcast_to(jnp.asarray(_SIDES, d_obst.dtype),
                                    d_obst.shape[:-1] + (4, 2))
         dists = jnp.broadcast_to(
             jnp.sqrt(sys.dsafe2_obst)[:, :, None, None],
@@ -156,8 +173,49 @@ def _select_from_trajectory(sys: con.ConstraintSystem, u_ref: jax.Array,
                                  d_obst.shape[:-1] + (4,))
     score = jnp.einsum("...sy,...y->...s", normals, d_obst) - dists
     neg_inf = jnp.asarray(-jnp.inf, score.dtype)
-    lon = jnp.arange(4) < 2
-    score = jnp.where(lon & (score < 0), neg_inf, score)
+
+    def committed_side(mode):
+        """ONE lateral face per (vehicle, obstacle) for the whole horizon:
+        the side maximizing the worst-case margin (mode "flip" = the other
+        side for crossing obstacles, whose per-step lateral preference is
+        not constant — the worst-case margin at u_ref cannot tell which
+        side is reachable, so both are probed as candidates)."""
+        worst = jnp.min(score[..., 2:4], axis=2)         # (V, O, 2)
+        pick = 2 + jnp.argmax(worst, axis=-1)            # (V, O)
+        if mode == "flip":
+            per_step = jnp.argmax(score[..., 2:4], axis=-1)     # (V, O, K)
+            crossing = jnp.any(per_step != per_step[..., :1], axis=-1)
+            pick = jnp.where(crossing, 5 - pick, pick)
+        return pick
+
+    if consistent_lateral:
+        pick = committed_side(consistent_lateral)
+        sel_obst = jnp.broadcast_to(pick[..., None], score.shape[:-1])
+        return sel_pair, sel_obst
+    if lat_commit is not None:
+        # Per-step choice among {behind, ahead, ONE committed lateral
+        # side}: a per-step argmax over both lateral faces flips sides
+        # mid-horizon when the obstacle drifts across the path (e.g.
+        # lateral 3 on steps 1-2 then 2 on step 3) — an assignment no
+        # dynamically-feasible trajectory satisfies. Optimal integer
+        # assignments are lon-prefix / committed-lateral / lon-suffix
+        # shaped (enumeration audit, tests/test_miqp.py).
+        other = 5 - committed_side(lat_commit)           # (V, O) excluded
+        excl = jnp.arange(4)[None, None, None, :] == other[..., None, None]
+        score = jnp.where(excl, neg_inf, score)
+    if u_max is not None:
+        # reachability: margin recoverable by the controls, per face row
+        grad = jnp.einsum("voksy,vkyu->voksu", normals, sys.b3)
+        cap = jnp.sum(jnp.abs(grad), -1) * u_max[:, None, None, None]
+        # Rank reachable faces by margin PLUS a correctability credit: at a
+        # near-tie between a barely-actionable face and one the controls
+        # push hard (e.g. a longitudinal vs a late-horizon lateral face),
+        # the QP resolves the heavily-actuated face but not the other —
+        # prefer it upfront (enumeration-audit counterexample).
+        score = jnp.where(score + cap < 0, neg_inf, score + 0.3 * cap)
+    else:
+        lon = jnp.arange(4) < 2
+        score = jnp.where(lon & (score < 0), neg_inf, score)
     if obst_sides is not None:
         mask = jnp.zeros((4,), bool).at[jnp.asarray(obst_sides)].set(True)
         score = jnp.where(mask, score, neg_inf)
@@ -269,6 +327,7 @@ def solve_fixed_sides(sys: con.ConstraintSystem, ref_points, q_weight,
                       du_lim: float,
                       slack_weight: float = 1e5, slack_ub: float = 1e8,
                       obst_normals=None, obst_dists=None,
+                      dsafe_pair=None, dsafe_obst=None,
                       qp_max_iter: int = 30, qp_tol: float = 1e-8):
     """Solve the convex QP for ONE explicit side assignment.
 
@@ -284,8 +343,10 @@ def solve_fixed_sides(sys: con.ConstraintSystem, ref_points, q_weight,
         sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
         du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
         dtype=dtype)
-    dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
-    dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+    if dsafe_pair is None:
+        dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
+    if dsafe_obst is None:
+        dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
     G_sep, h_sep = _rows_from_selection(sys, sel_pair, sel_obst, dsafe_pair,
                                         dsafe_obst, obst_normals, obst_dists)
     G = jnp.concatenate([jnp.concatenate([G_sep, slack_col], axis=1),
@@ -310,6 +371,7 @@ def solve_side_selection(sys: con.ConstraintSystem,
                          n_rounds: int = 2,
                          multi_candidate: bool = True,
                          obst_normals=None, obst_dists=None,
+                         dsafe_pair=None, dsafe_obst=None,
                          qp_max_iter: int = 30,
                          qp_tol: float = 1e-8) -> SideSelectionResult:
     """Solve the side-selection convex program for one scenario instance.
@@ -319,15 +381,27 @@ def solve_side_selection(sys: con.ConstraintSystem,
     reference's rotated-rectangle mode (obstAsQCQP=0, MIQP.py:233-253);
     default is the circular-QCQP mode (obstAsQCQP=1).
 
+    ``dsafe_pair (P,)`` / ``dsafe_obst (V, O)``: separation distances for
+    the half-plane rows. The reference MIQP builds its rows from the RAW
+    safety distances — ``dsafeExtra`` never enters them (MIQP.py:226-227,
+    260, vs the SCP's +extra at SCP_controller.py:317) — so the engine
+    passes the raw distances here; the default (None) falls back to the
+    system's padded distances. Feasibility is evaluated at the same
+    distances the rows enforce.
+
     ``multi_candidate``: the scored selection alone picks an infeasible
     LONGITUDINAL separation when an obstacle sits nearly dead-ahead (a
-    constant-speed vehicle cannot fall behind its own path — measured
-    against the enumeration oracle in tests/test_miqp.py). The first round
-    therefore solves THREE candidate assignments — unrestricted, lateral
-    faces only, longitudinal faces only — in one vmap and keeps the best
-    (hard-feasible first, then objective), which is exactly the subset of
-    integer leaves a branch-and-bound would probe first. Subsequent rounds
-    are the usual reselection fixed-point iteration.
+    constant-speed vehicle cannot fall behind its own path), and a
+    per-step pick FLIPS lateral sides when an obstacle crosses the path —
+    both measured against the enumeration oracle in tests/test_miqp.py.
+    The first round therefore solves FIVE candidate assignments — the
+    per-step lon/committed-lateral mix for BOTH committed sides, pure
+    longitudinal, and both pure committed-lateral assignments — in one
+    vmap and keeps the best (hard-feasible first, then objective), which
+    is exactly the subset of integer leaves a branch-and-bound would probe
+    first. Subsequent rounds are the usual reselection fixed-point
+    iteration, and the best incumbent across candidates and rounds is
+    returned.
     """
     v, hp, _, hu = sys.b3.shape
     n = v * hu
@@ -337,8 +411,14 @@ def solve_side_selection(sys: con.ConstraintSystem,
         sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
         du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
         dtype=dtype)
-    dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
-    dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+    if dsafe_pair is None:
+        dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
+    if dsafe_obst is None:
+        dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+    # selection scores + feasibility evaluation run at the SAME distances
+    # the rows enforce
+    sys_sel = sys._replace(dsafe2_pair=dsafe_pair ** 2,
+                           dsafe2_obst=dsafe_obst ** 2)
 
     def solve_with_sel(sel_pair, sel_obst, u_ref):
         G_sep, h_sep = _rows_from_selection(
@@ -356,53 +436,91 @@ def solve_side_selection(sys: con.ConstraintSystem,
         u_new = jnp.where(ok, sol.x[:n], u_ref)
         return u_new, sol.obj, sol.x[n], sol.converged & ok, sol.iters
 
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def rank(obj, slack):
+        """Hard-feasible solutions rank by objective, soft ones after by
+        slack — the candidate/round comparison rule (B&B incumbent order)."""
+        hard = slack < jnp.asarray(1e-6, dtype)
+        return jnp.where(hard, obj, big * 0.5 + slack)
+
     def one_round(carry, _):
-        u_ref, _, _, _, it_acc = carry
+        u_ref, it_acc = carry
         sel_pair, sel_obst = _select_from_trajectory(
-            sys, u_ref, obst_normals, obst_dists)
+            sys_sel, u_ref, obst_normals, obst_dists, u_max=u_max,
+            lat_commit=True)
         u_new, obj, slack, conv, iters = solve_with_sel(
             sel_pair, sel_obst, u_ref)
-        return ((u_new, obj, slack, conv, it_acc + iters),
-                (sel_pair, sel_obst))
+        return ((u_new, it_acc + iters),
+                (u_new, obj, slack, conv, sel_pair, sel_obst))
 
     use_candidates = multi_candidate and sys.obst_pos.shape[0] > 0
     if use_candidates:
-        sel_pair0, sel_full = _select_from_trajectory(
-            sys, u_init, obst_normals, obst_dists)
-        _, sel_lat = _select_from_trajectory(
-            sys, u_init, obst_normals, obst_dists, obst_sides=(2, 3))
+        sel_pair0, sel_full_a = _select_from_trajectory(
+            sys_sel, u_init, obst_normals, obst_dists, u_max=u_max,
+            lat_commit=True)
+        _, sel_full_b = _select_from_trajectory(
+            sys_sel, u_init, obst_normals, obst_dists, u_max=u_max,
+            lat_commit="flip")
         _, sel_lon = _select_from_trajectory(
-            sys, u_init, obst_normals, obst_dists, obst_sides=(0, 1))
-        cand_obst = jnp.stack([sel_full, sel_lat, sel_lon])
+            sys_sel, u_init, obst_normals, obst_dists, obst_sides=(0, 1),
+            u_max=u_max)
+        _, sel_lat_c = _select_from_trajectory(
+            sys_sel, u_init, obst_normals, obst_dists, consistent_lateral=True)
+        _, sel_lat_f = _select_from_trajectory(
+            sys_sel, u_init, obst_normals, obst_dists, consistent_lateral="flip")
+        cand_obst = jnp.stack([sel_full_a, sel_full_b, sel_lon, sel_lat_c,
+                               sel_lat_f])
         u_c, obj_c, slack_c, conv_c, it_c = jax.vmap(
             lambda so: solve_with_sel(sel_pair0, so, u_init))(cand_obst)
-        hard_c = slack_c < jnp.asarray(1e-6, dtype)
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        pick = jnp.argmin(jnp.where(hard_c, obj_c, big * 0.5 + slack_c))
+        pick = jnp.argmin(rank(obj_c, slack_c))
         init = (u_c[pick], obj_c[pick], slack_c[pick], conv_c[pick],
                 jnp.sum(it_c))          # all candidates were actually solved
         sel0 = (sel_pair0, cand_obst[pick])
         scan_rounds = n_rounds - 1
     else:
-        init = (u_init, jnp.asarray(jnp.inf, dtype),
-                jnp.asarray(0.0, dtype), jnp.array(False), jnp.asarray(0))
-        sel0 = _select_from_trajectory(sys, u_init, obst_normals, obst_dists)
+        init = (u_init, big, jnp.asarray(big, dtype), jnp.array(False),
+                jnp.asarray(0))
+        sel0 = _select_from_trajectory(sys_sel, u_init, obst_normals, obst_dists,
+                                       u_max=u_max, lat_commit=True)
         scan_rounds = n_rounds
 
+    u0_, obj0, slack0, conv0, qp_its0 = init
     if scan_rounds > 0:
-        (u, obj, slack, conv, qp_its), sels = jax.lax.scan(
-            one_round, init, None, length=scan_rounds)
-        sel_last = (sels[0][-1], sels[1][-1])
+        (_, qp_its), ys = jax.lax.scan(one_round, (u0_, qp_its0), None,
+                                       length=scan_rounds)
+        # Keep the BEST result across the initial incumbent and every
+        # reselection round (a worse reselection must not displace a
+        # better incumbent — B&B keeps its incumbent).
+        all_u = jnp.concatenate([u0_[None], ys[0]])
+        all_obj = jnp.concatenate([obj0[None], ys[1]])
+        all_slack = jnp.concatenate([slack0[None], ys[2]])
+        all_conv = jnp.concatenate([conv0[None], ys[3]])
+        all_selp = jnp.concatenate([sel0[0][None], ys[4]])
+        all_selo = jnp.concatenate([sel0[1][None], ys[5]])
+        best = jnp.argmin(rank(all_obj, all_slack))
+        u, obj, slack, conv = (all_u[best], all_obj[best], all_slack[best],
+                               all_conv[best])
+        sel_last = (all_selp[best], all_selo[best])
     else:
         u, obj, slack, conv, qp_its = init
         sel_last = sel0
-    # Fixed-point check: the final solution's induced selection equals the
-    # one the last round solved with — another round would change nothing.
+    # Fixed-point check: another reselection round would change nothing —
+    # either the induced selection is IDENTICAL to the solved one, or the
+    # returned solution already satisfies every induced row (then the
+    # incumbent stays feasible-optimal for the re-selected QP; picks of
+    # far, non-binding constraints routinely flip without consequence).
     sel_pair_f, sel_obst_f = _select_from_trajectory(
-        sys, u, obst_normals, obst_dists)
-    sides_stable = (jnp.all(sel_last[0] == sel_pair_f)
-                    & jnp.all(sel_last[1] == sel_obst_f))
-    ev = con.evaluate(sys, u, constraint_tolerance, compat_q5=False)
+        sys_sel, u, obst_normals, obst_dists, u_max=u_max, lat_commit=True)
+    identical = (jnp.all(sel_last[0] == sel_pair_f)
+                 & jnp.all(sel_last[1] == sel_obst_f))
+    G_f, h_f = _rows_from_selection(
+        sys, sel_pair_f, sel_obst_f, dsafe_pair, dsafe_obst,
+        obst_normals, obst_dists)
+    induced_ok = jnp.max(G_f @ u - h_f, initial=-jnp.inf) \
+        <= constraint_tolerance
+    sides_stable = identical | induced_ok
+    ev = con.evaluate(sys_sel, u, constraint_tolerance, compat_q5=False)
     return SideSelectionResult(u=u, obj=obj, slack=slack,
                                feasible=ev.feasible, converged=conv,
                                rounds=jnp.asarray(n_rounds),

@@ -228,3 +228,111 @@ def test_circle_vehicle_separation():
     u = np.asarray(res.u).reshape(sc.nVeh, sc.Hp)
     du = np.diff(np.concatenate([np.zeros((sc.nVeh, 1)), u], axis=1), axis=1)
     assert np.abs(du).max() <= sc.uLim + 1e-8
+
+
+def test_side_selection_randomized_enumeration_audit():
+    """Randomized audit of the heuristic against the brute-force oracle
+    (VERDICT r2 #4a): ~50 jittered tiny instances — obstacle offset,
+    heading, speed and size randomized, half in rotated-rectangle mode —
+    each compared to the enumeration of ALL 4^C side assignments. The
+    heuristic must be hard-feasible whenever any assignment is, and the max
+    relative objective gap is bounded."""
+    import functools
+
+    rng = np.random.default_rng(12)
+    hp = 4
+    combos = np.asarray(list(itertools.product(range(4), repeat=hp)),
+                        dtype=np.int64)                    # (256, hp)
+
+    @functools.partial(jax.jit, static_argnames=("rect",))
+    def enum_all(sys_, ref_pts, q, qf, r, u0, um, so, normals, dists,
+                 rect=False):
+        kw = ({"obst_normals": normals, "obst_dists": dists} if rect else {})
+        solve = jax.vmap(lambda b: miqp.solve_fixed_sides(
+            sys_, ref_pts, q, qf, r, u0, um,
+            jnp.zeros((0, hp), jnp.int64), b, du_lim=0.6, **kw))
+        return solve(so)
+
+    gaps, n_hard = [], 0
+    for case in range(50):
+        rect = case % 2 == 1
+        obst = [[float(rng.uniform(-4.5, -2.6)),
+                 float(rng.uniform(-0.7, 0.7)),
+                 float(rng.uniform(-0.7, 0.7)),
+                 float(rng.uniform(0.0, 0.8)),
+                 float(rng.uniform(0.3, 0.6)),
+                 float(rng.uniform(0.3, 0.6))]]
+        cfg, data, sys_, ref_pts = _tiny_instance(obst, hp=hp)
+        um = jnp.full((1,), 0.3)
+        if rect:
+            normals, dists = miqp.rectangle_obstacle_geometry(
+                data.obstacles, data.x0[:, 3], data.params.length,
+                data.params.width, cfg.dt)
+            rectkw = {"obst_normals": normals, "obst_dists": dists}
+        else:
+            normals = jnp.zeros((1, 4, 2))
+            dists = jnp.zeros((1, 1, 4))
+            rectkw = {}
+        so = jnp.asarray(combos).reshape(-1, 1, 1, hp)
+        _, obj_all, slack_all, conv_all = enum_all(
+            sys_, ref_pts, data.params.q, data.params.q_final,
+            data.params.r, data.u0, um, so, normals, dists, rect=rect)
+        hard = (np.asarray(slack_all) < 1e-6) & np.asarray(conv_all)
+        res = miqp.solve_side_selection(
+            sys_, ref_pts, data.params.q, data.params.q_final,
+            data.params.r, data.u0, um, jnp.zeros((hp,)), du_lim=0.6,
+            n_rounds=2, **rectkw)
+        if not hard.any():
+            # no hard-feasible assignment exists; heuristic must not
+            # pretend otherwise
+            assert float(res.slack) > 1e-6
+            continue
+        n_hard += 1
+        assert float(res.slack) < 1e-6, \
+            f"case {case}: heuristic missed a hard-feasible assignment"
+        best = float(np.where(hard, np.asarray(obj_all), np.inf).min())
+        gaps.append((float(res.obj) - best) / max(abs(best), 1e-9))
+    # about half the random geometries admit NO hard-feasible assignment
+    # (obstacle too close to dodge within steering limits) — those pin the
+    # no-false-feasibility branch instead
+    assert n_hard >= 20, f"audit degenerate: only {n_hard} solvable cases"
+    max_gap = max(gaps)
+    # report the measured bound; calibrated headroom over the observed gap
+    assert max_gap < 1e-3, f"max rel gap {max_gap:.3e} over {n_hard} cases"
+
+
+def _closed_loop(cfg, data, n_steps=50):
+    import functools
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data,
+                                    n_steps=n_steps))
+    return sim()
+
+
+def test_closed_loop_side_selection_frog_full_50():
+    """FULL 50-step frog run (VERDICT r2 #4b): feasible on every step and
+    the reselection fixed point holds on nearly all (conflict steps can
+    oscillate between equivalent assignments)."""
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(controller="side_selection", qp_max_iter=25)
+    carry, out = _closed_loop(cfg, data)
+    feas = np.asarray(out.feasible)
+    assert feas.all(), f"infeasible steps: {np.nonzero(~feas)[0]}"
+    assert np.asarray(out.sides_stable).mean() >= 0.9
+    assert np.asarray(out.qp_iters).min() > 0       # real solver cost logged
+    assert float(carry.state[0, 0]) > float(data.x0[0, 0]) + 60.0
+
+
+def test_closed_loop_side_selection_parallel_full_50():
+    """FULL 50-step 11-vehicle parallel run: pairs + 4 static obstacles.
+    With the reference-parity raw-dsafe rows (MIQP.py:226-227,260 — no
+    dsafeExtra) every step is hard-feasible; the with-extra rows of r2
+    made the axis-aligned program unsatisfiable and the loop collided."""
+    cfg, data = builders.parallel(11, dtype=jnp.float64)
+    cfg = cfg.replace(controller="side_selection", qp_max_iter=25)
+    carry, out = _closed_loop(cfg, data)
+    feas = np.asarray(out.feasible)
+    assert feas.all(), f"infeasible steps: {np.nonzero(~feas)[0]}"
+    # residual slack at IPM-tolerance level only
+    assert float(np.asarray(out.max_violation).max()) < 1e-4
+    assert np.asarray(out.pred_feasible).all()
+    assert np.asarray(out.sides_stable).mean() >= 0.8
