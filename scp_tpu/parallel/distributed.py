@@ -70,10 +70,7 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
     from scp_tpu.sim import engine
     from scp_tpu.utils import checkpoint
 
-    if checkpoint_path and jax.process_count() > 1:
-        raise NotImplementedError(
-            "checkpointing a multi-process sweep needs per-host shard "
-            "checkpoints; pass checkpoint_path=None in distributed jobs")
+    multiprocess = jax.process_count() > 1
     n = jax.tree_util.tree_leaves(data_batch)[0].shape[0]
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), n)
@@ -87,11 +84,27 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
         out_specs=P("data"), check_rep=False))
     carries = init(batch, keys_sharded)
 
+    # Multi-process jobs checkpoint per-process shard blocks
+    # (<path>.proc<k>, utils.checkpoint.save_sharded): no process can
+    # materialize the global carry, and resume rebuilds it with
+    # make_array_from_callback against the same mesh.
+    data_sharding = NamedSharding(mesh, P("data"))
+    if multiprocess:
+        ckpt_save = checkpoint.save_sharded
+        ckpt_exists = (lambda p: os.path.exists(checkpoint.proc_path(p)))
+        ckpt_load = (lambda p, like: checkpoint.load_sharded(
+            p, like, data_sharding))
+    else:
+        ckpt_save = checkpoint.save
+        ckpt_exists = os.path.exists
+        ckpt_load = checkpoint.load
+
     start = 0
-    if checkpoint_path and resume and os.path.exists(checkpoint_path):
-        loaded, start = checkpoint.load(checkpoint_path, carries)
+    if checkpoint_path and resume and ckpt_exists(checkpoint_path):
+        loaded, start = ckpt_load(checkpoint_path, carries)
         carries = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+            lambda x: (x if multiprocess
+                       else jax.device_put(x, data_sharding)),
             loaded)
 
     n_model = int(mesh.shape.get("model", 1))
@@ -154,7 +167,7 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
         carries, summ = run(batch, carries)
         step += k
         if checkpoint_path and checkpoint_every:
-            checkpoint.save(checkpoint_path, carries, step)
+            ckpt_save(checkpoint_path, carries, step)
         chunks.append(summ)
 
     if not chunks:
