@@ -496,7 +496,15 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
     if g_struct is not None:
         assert schur_slack, "g_struct requires schur_slack"
         assert pb_dims is not None, "g_struct requires block-diagonal P"
-        pairs_s, obst_veh, hp_s, hu_s = g_struct
+        pairs_s, obst_veh, hp_s, hu_s, *rest_gs = g_struct
+        # optional 5th element: the slabs are BLOCK-LOWER-TRIANGULAR in
+        # (k, u) — row k touches only controls u <= k (the condensed
+        # MPC prediction matrix is block-lower-triangular Toeplitz,
+        # reference MPC_Iter.py:129-149). The K formation then skips the
+        # all-zero 8-sublane blocks: output block (cg, ag) accumulates
+        # only k >= 8*max(cg, ag) — ~42% of the dense FMA sweep at
+        # hp=hu=20. MUST only be set when the property actually holds.
+        lower_tri_s = bool(rest_gs[0]) if rest_gs else False
         # plain Python ints: Mosaic's index lowering rejects numpy scalars
         pairs_s = tuple((int(i), int(j)) for i, j in pairs_s)
         obst_veh = tuple(int(v) for v in obst_veh)
@@ -617,16 +625,56 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 return [_pad_blk(vec_n[v * hu_s:(v + 1) * hu_s])
                         for v in range(n_veh_s)]
 
+            def _slab_mv(slab, vblk):
+                """sum_u slab[k, u] * v[u] -> (hp, TB); with lower_tri
+                slabs, column group g contributes only rows k >= 8g, so
+                the zero blocks are never multiplied (~60% of the sweep
+                at hp=hu=20)."""
+                if not lower_tri_s:
+                    return jnp.sum(slab * vblk[None, :, :], axis=1)
+                out = None
+                for g in range(hu8 // 8):
+                    k0 = 8 * g
+                    if k0 >= hp_s:
+                        break
+                    # NB: single-dim slices and None-insertion as separate
+                    # indexing ops — combined forms lower to gathers,
+                    # which Mosaic rejects.
+                    ssub = slab[k0:]
+                    ssub = ssub[:, g * 8:(g + 1) * 8]
+                    vsub = vblk[g * 8:(g + 1) * 8]
+                    part = jnp.sum(ssub * vsub[None, :, :], axis=1)
+                    if out is None:
+                        out = part
+                    else:
+                        out = jnp.concatenate(
+                            [out[:k0], out[k0:] + part], axis=0)
+                return out
+
+            def _slab_tmv(slab, vm):
+                """sum_k slab[k, u] * v[k] -> (hu8, TB); with lower_tri
+                slabs, column group g sums only k >= 8g."""
+                if not lower_tri_s:
+                    return jnp.sum(slab * vm, axis=0)
+                parts = []
+                for g in range(hu8 // 8):
+                    k0 = 8 * g
+                    if k0 >= hp_s:
+                        parts.append(jnp.zeros((8, TB), jnp.float32))
+                        continue
+                    ssub = slab[k0:]
+                    ssub = ssub[:, g * 8:(g + 1) * 8]
+                    parts.append(jnp.sum(ssub * vm[k0:], axis=0))
+                return jnp.concatenate(parts, axis=0)
+
             def gmv(vec_n):
                 vb = _blocks_of(vec_n)
                 parts = []
                 for p, (i, j) in enumerate(pairs_s):
-                    parts.append(
-                        jnp.sum(gi_ref[p] * vb[i][None, :, :], axis=1)
-                        + jnp.sum(gj_ref[p] * vb[j][None, :, :], axis=1))
+                    parts.append(_slab_mv(gi_ref[p], vb[i])
+                                 + _slab_mv(gj_ref[p], vb[j]))
                 for o, v in enumerate(obst_veh):
-                    parts.append(
-                        jnp.sum(gob_ref[o] * vb[v][None, :, :], axis=1))
+                    parts.append(_slab_mv(gob_ref[o], vb[v]))
                 if mg_pad > mg:
                     parts.append(jnp.zeros((mg_pad - mg, TB), jnp.float32))
                 out = jnp.concatenate(parts, axis=0)
@@ -649,16 +697,13 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 contrib = [[] for _ in range(n_veh_s)]
                 for p, (i, j) in enumerate(pairs_s):
                     vm = vec_m[p * hp_s:(p + 1) * hp_s][:, None, :]
-                    contrib[i].append(
-                        jnp.sum(gi_ref[p] * vm, axis=0)[:hu_s])
-                    contrib[j].append(
-                        jnp.sum(gj_ref[p] * vm, axis=0)[:hu_s])
+                    contrib[i].append(_slab_tmv(gi_ref[p], vm)[:hu_s])
+                    contrib[j].append(_slab_tmv(gj_ref[p], vm)[:hu_s])
                 ob = P_s * hp_s
                 for o, v in enumerate(obst_veh):
                     vm = vec_m[ob + o * hp_s:
                                ob + (o + 1) * hp_s][:, None, :]
-                    contrib[v].append(
-                        jnp.sum(gob_ref[o] * vm, axis=0)[:hu_s])
+                    contrib[v].append(_slab_tmv(gob_ref[o], vm)[:hu_s])
                 return _cat_blocks(
                     contrib, jnp.sum(gsl_ref[...] * vec_m, axis=0))
         else:
@@ -701,6 +746,24 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         if g_struct is not None:
             # analytic diag of G^T W G from the slabs; the w-scaled slabs
             # are kept for the in-VMEM K formation below.
+            def _sq_tri(ws, s):
+                """sum_k ws[k, u] * s[k, u] -> (hu8, TB); column group g of
+                lower_tri slabs sums only k >= 8g."""
+                if not lower_tri_s:
+                    return jnp.sum(ws * s, axis=0)
+                parts = []
+                for g in range(hu8 // 8):
+                    k0 = 8 * g
+                    if k0 >= hp_s:
+                        parts.append(jnp.zeros((8, TB), jnp.float32))
+                        continue
+                    wsub = ws[k0:]
+                    wsub = wsub[:, g * 8:(g + 1) * 8]
+                    ssub = s[k0:]
+                    ssub = ssub[:, g * 8:(g + 1) * 8]
+                    parts.append(jnp.sum(wsub * ssub, axis=0))
+                return jnp.concatenate(parts, axis=0)
+
             wgi_l, wgj_l, wgo_l = [], [], []
             sq_contrib = [[] for _ in range(n_veh_s)]
             for p, (i, j) in enumerate(pairs_s):
@@ -709,17 +772,14 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                 wgj = gj_ref[p] * wp
                 wgi_l.append(wgi)
                 wgj_l.append(wgj)
-                sq_contrib[i].append(
-                    jnp.sum(wgi * gi_ref[p], axis=0)[:hu_s])
-                sq_contrib[j].append(
-                    jnp.sum(wgj * gj_ref[p], axis=0)[:hu_s])
+                sq_contrib[i].append(_sq_tri(wgi, gi_ref[p])[:hu_s])
+                sq_contrib[j].append(_sq_tri(wgj, gj_ref[p])[:hu_s])
             ob0 = P_s * hp_s
             for o, v in enumerate(obst_veh):
                 wp = wg[ob0 + o * hp_s:ob0 + (o + 1) * hp_s][:, None, :]
                 wgo = gob_ref[o] * wp
                 wgo_l.append(wgo)
-                sq_contrib[v].append(
-                    jnp.sum(wgo * gob_ref[o], axis=0)[:hu_s])
+                sq_contrib[v].append(_sq_tri(wgo, gob_ref[o])[:hu_s])
             gsl_v = gsl_ref[...]
             gsq = _cat_blocks(sq_contrib,
                               jnp.sum(wg * gsl_v * gsl_v, axis=0))
@@ -771,10 +831,36 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
             def outer_sum(a_slab, b_slab):
                 # (hp, hu8, TB) x2 -> (hu8, hu8, TB):
                 # out[c, a, :] = sum_k a_slab[k, c, :] * b_slab[k, a, :]
-                acc = a_slab[0][:, None, :] * b_slab[0][None, :, :]
-                for k in range(1, hp_s):
-                    acc = acc + a_slab[k][:, None, :] * b_slab[k][None, :, :]
-                return acc
+                if not lower_tri_s:
+                    acc = a_slab[0][:, None, :] * b_slab[0][None, :, :]
+                    for k in range(1, hp_s):
+                        acc = acc + (a_slab[k][:, None, :]
+                                     * b_slab[k][None, :, :])
+                    return acc
+                # lower-triangular slabs (slab[k, u] = 0 for u > k): the
+                # 8-sublane output block (cg, ag) only sees
+                # k >= 8*max(cg, ag) — 76 of 180 block-FMA sweeps at
+                # hp=hu=20, and the blocks below the k0 cut are exact
+                # zeros, not approximations.
+                gs = hu8 // 8
+                zero8 = jnp.zeros((8, 8, TB), jnp.float32)
+                rows = []
+                for cg in range(gs):
+                    row = []
+                    for ag in range(gs):
+                        k0 = 8 * max(cg, ag)
+                        if k0 >= hp_s:
+                            row.append(zero8)
+                            continue
+                        a_blk = a_slab[:, cg * 8:(cg + 1) * 8, :]
+                        b_blk = b_slab[:, ag * 8:(ag + 1) * 8, :]
+                        acc = a_blk[k0][:, None, :] * b_blk[k0][None, :, :]
+                        for k in range(k0 + 1, hp_s):
+                            acc = acc + (a_blk[k][:, None, :]
+                                         * b_blk[k][None, :, :])
+                        row.append(acc)
+                    rows.append(jnp.concatenate(row, axis=1))
+                return jnp.concatenate(rows, axis=0)
 
             diag_acc = [None] * n_veh_s
 
@@ -1119,7 +1205,7 @@ def ipm_iterate_lane_struct(gi, gj, gob, gsl, pb, q, pdiag,
     grid dimension revisits the same blocks, so slabs/P/state stay in
     VMEM across iterations (see ``make_ipm_iter_kernel``).
     """
-    pairs_s, obst_veh, hp_s, hu_s = g_struct
+    pairs_s, obst_veh, hp_s, hu_s, *_ = g_struct
     B = q.shape[1]
     n_pad = pad_dim(n)
     mg_pad = _pad_to(mg, _MV_MB)

@@ -531,7 +531,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         mg_pad = pll._pad_to(mg, pll._MV_MB)
         _HI = jax.lax.Precision.HIGHEST
         if use_slabs:
-            pairs_s0, obst_veh0, hp_s0, hu_s0 = g_struct
+            pairs_s0, obst_veh0, hp_s0, hu_s0, *_ = g_struct
             nu0 = n - 1
             xv_shape0 = nu0 // hu_s0
             pi_idx = jnp.asarray([i for i, _ in pairs_s0], jnp.int32)
@@ -759,7 +759,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             # Per-pair row slabs (once per solve, loop-invariant): the
             # fused kernel forms K from these in VMEM — no dense dot, no
             # layout transpose, no K in HBM (see ipm_iterate_lane_struct).
-            pairs_s, obst_veh, hp_s, hu_s = g_struct
+            pairs_s, obst_veh, hp_s, hu_s, *_ = g_struct
             hu8 = pll._pad_to(hu_s, 8)
             ob0 = len(pairs_s) * hp_s
 

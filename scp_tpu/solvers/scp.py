@@ -309,9 +309,12 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
     # the KKT matrix from per-pair slabs in VMEM (qp.solve_qp_batched's
     # ``g_struct``).
     n_obst = sys.obst_pos.shape[1]
+    # 5th element: the condensed prediction matrix is block-lower-triangular
+    # (MPC_Iter.py:129-149), so every slab row k touches only controls
+    # u <= k — the fused kernel's K formation skips the zero blocks.
     g_struct = (tuple(con._static_pairs(v)),
                 tuple(vv for vv in range(v) for _ in range(n_obst)),
-                hp, hu)
+                hp, hu, True)
 
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)

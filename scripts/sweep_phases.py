@@ -38,15 +38,16 @@ RTT = sorted(_rtts)[3]
 
 SCHEDULES = [
     ((3, 1), (2, 2), (15, 8)),          # current headline
+    # per-phase qp_fixed_iters overrides (third element): cheap early QPs
+    ((3, 1, 5), (2, 2), (15, 8)),
+    ((3, 1, 6), (2, 2), (15, 8)),
+    ((3, 1, 5), (2, 2, 7), (15, 8, 8)),
+    ((4, 1, 5), (2, 2), (14, 8)),
+    ((3, 1, 4), (2, 2), (15, 8)),
+    ((3, 1, 5), (2, 2, 6), (15, 8)),
     ((3, 1), (2, 2), (2, 4), (13, 8)),
-    ((2, 1), (2, 2), (2, 4), (14, 8)),
-    ((3, 1), (1, 2), (2, 4), (14, 8)),
     ((3, 1), (2, 2), (15, 16)),
-    ((3, 1), (2, 4), (15, 8)),
     ((4, 1), (2, 2), (14, 8)),
-    ((2, 1), (2, 2), (16, 8)),
-    ((3, 1), (3, 2), (14, 8)),
-    ((3, 1), (2, 2), (3, 8), (12, 16)),
 ]
 
 
@@ -72,6 +73,6 @@ def measure(phases):
 
 for ph in SCHEDULES:
     dt, feas, obj = measure(ph)
-    eff = sum(it / fr for it, fr in ph)
+    eff = sum(e[0] / e[1] for e in ph)
     print(f"{str(ph):42s} eff={eff:5.2f}  step={dt*1e3:6.2f} ms  "
           f"feas={feas:.4f}  obj={obj:9.2f}")

@@ -109,24 +109,28 @@ def test_fused_p_blocks_matches_dense_interpret():
                                atol=5e-5)
 
 
-def _pair_sparse_qps(B=64, v=3, hu=8, hp=5, o=1, seed=4):
+def _pair_sparse_qps(B=64, v=3, hu=8, hp=5, o=1, seed=4, lower_tri=False):
     """SCP-shaped QPs: pair-sparse G rows + obstacle rows + slack column,
-    block-diagonal P with a zero slack row (the layout g_struct asserts)."""
+    block-diagonal P with a zero slack row (the layout g_struct asserts).
+    ``lower_tri`` zeroes entries with u > k (the condensed-matrix block
+    structure) and declares it via the g_struct 5-tuple."""
     import numpy as np
     rng = np.random.default_rng(seed)
     n = v * hu + 1
     pairs = [(i, j) for i in range(v) for j in range(i + 1, v)]
     mg = (len(pairs) + v * o) * hp
+    tri = np.tril(np.ones((hp, hu), np.float32), k=0) if lower_tri \
+        else np.ones((hp, hu), np.float32)
     G = np.zeros((B, mg, n), np.float32)
     for p, (i, j) in enumerate(pairs):
         G[:, p * hp:(p + 1) * hp, i * hu:(i + 1) * hu] = \
-            rng.normal(size=(B, hp, hu)) * 0.3
+            rng.normal(size=(B, hp, hu)) * 0.3 * tri
         G[:, p * hp:(p + 1) * hp, j * hu:(j + 1) * hu] = \
-            rng.normal(size=(B, hp, hu)) * 0.3
+            rng.normal(size=(B, hp, hu)) * 0.3 * tri
     ob0 = len(pairs) * hp
     for oi, vv in enumerate(vv for vv in range(v) for _ in range(o)):
         G[:, ob0 + oi * hp:ob0 + (oi + 1) * hp,
-          vv * hu:(vv + 1) * hu] = rng.normal(size=(B, hp, hu)) * 0.3
+          vv * hu:(vv + 1) * hu] = rng.normal(size=(B, hp, hu)) * 0.3 * tri
     G[:, :, -1] = -1.0                                    # slack column
     A = rng.normal(size=(B, v, hu, hu)).astype(np.float32)
     blocks = jnp.asarray(np.einsum("bvij,bvkj->bvik", A, A) / hu
@@ -143,7 +147,8 @@ def _pair_sparse_qps(B=64, v=3, hu=8, hp=5, o=1, seed=4):
     ub = np.full((B, n), 1.0, np.float32)
     ub[:, -1] = 100.0
     g_struct = (tuple(pairs),
-                tuple(vv for vv in range(v) for _ in range(o)), hp, hu)
+                tuple(vv for vv in range(v) for _ in range(o)), hp, hu,
+                lower_tri)
     return ([jnp.asarray(a) for a in (P, q, G, h, lb, ub)], blocks,
             g_struct)
 
@@ -172,6 +177,30 @@ def test_fused_struct_matches_dense_interpret(hu):
     np.testing.assert_allclose(np.asarray(r_struct.x),
                                np.asarray(r_dense.x), atol=2e-4)
     assert float(jnp.mean(r_struct.converged == r_dense.converged)) > 0.95
+
+
+@pytest.mark.parametrize("hu,hp", [(8, 5), (20, 20)])
+def test_fused_struct_lower_tri_matches_dense_interpret(hu, hp):
+    """lower_tri=True (the production g_struct flag: slabs zero for
+    u > k, so the K formation/diag sums skip whole 8-sublane blocks) ==
+    the dense fused path on genuinely triangular slabs."""
+    args, blocks, g_struct = _pair_sparse_qps(hu=hu, hp=hp, lower_tri=True)
+    assert g_struct[4] is True
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_tri = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True,
+            p_blocks=blocks, slack_schur=True,
+            g_struct=g_struct))(*args)
+        r_dense = jax.jit(lambda *a: qp.solve_qp_batched(
+            *a, fixed_iters=12, tol=1e-6, use_pallas=True,
+            p_blocks=blocks, slack_schur=True,
+            g_struct=g_struct[:4]))(*args)
+    finally:
+        pll.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(r_tri.x),
+                               np.asarray(r_dense.x), atol=2e-4)
 
 
 def test_scp_stacked_struct_matches_plain_interpret():
