@@ -164,9 +164,14 @@ def cmd_sweep(args):
         cfg = cfg.replace(**overrides)
     n_steps = args.steps or cfg.n_sim
     mesh = distributed.global_mesh(n_model=args.n_model)
+    phases = None
+    if getattr(args, "batched", False):
+        # bench-calibrated straggler-repacked stepping per shard
+        phases = (config_lib.TUNED_F32_PHASES if dtype == jnp.float32
+                  else ((cfg.max_scp_iter, 1),))
     t0 = time.time()
     carries, (objs, feas, iters) = distributed.sweep(
-        cfg, data, mesh, n_steps=n_steps,
+        cfg, data, mesh, n_steps=n_steps, phases=phases,
         checkpoint_path=args.checkpoint or None,
         checkpoint_every=args.checkpoint_every)
     summary = {
@@ -230,6 +235,10 @@ def main(argv=None):
     ps.add_argument("--hp", type=int, default=0)
     ps.add_argument("--n-model", type=int, default=1,
                     help="mesh model-axis size (1 = pure data parallel)")
+    ps.add_argument("--batched", action="store_true",
+                    help="straggler-repacked batched stepping per shard "
+                         "(the bench-calibrated production path; "
+                         "incompatible with --n-model > 1)")
     ps.add_argument("--checkpoint", default="")
     ps.add_argument("--checkpoint-every", type=int, default=0)
     ps.add_argument("--seed", type=int, default=0)

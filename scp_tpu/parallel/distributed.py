@@ -46,12 +46,20 @@ def global_mesh(n_model: int = 1) -> Mesh:
 
 def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
           checkpoint_path: str | None = None, checkpoint_every: int = 0,
-          resume: bool = True):
+          resume: bool = True, phases=None):
     """Run a sharded closed-loop sweep over a scenario batch.
 
     ``data_batch`` leading axis is sharded over the mesh's 'data' axis; the
     returned per-step summary metrics are psum-reduced across all shards
     (the SCP convergence-voting collective).
+
+    ``phases`` (e.g. ``config.TUNED_F32_PHASES``): run each step through
+    the straggler-repacked batched SCP (``engine.mpc_step_batch``) per
+    shard instead of per-instance ``mpc_step`` — the bench-calibrated
+    production path (fused TPU QP + repacking; see BENCHMARKS.md).
+    Equivalent up to the straggler-capacity note in ``solve_scp_batch``;
+    incompatible with a model axis (the horizon-sharded step is
+    per-instance).
 
     Checkpointing: with ``checkpoint_every = k > 0`` the scan runs in
     k-step chunks and the carry pytree is saved after every chunk (plus a
@@ -112,6 +120,9 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
         raise ValueError(
             f"n_model={n_model} requires the SCP controller (horizon "
             f"sharding); got controller={cfg.controller!r}")
+    if phases is not None and n_model > 1:
+        raise ValueError("phases (batched stepping) is incompatible with "
+                         "a model axis; use n_model=1 or phases=None")
 
     def make_run(length: int):
         def per_instance(d, carry):
@@ -132,7 +143,20 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
 
             return jax.lax.scan(step, carry, None, length=length)
 
+        def per_shard_batched(b, cs):
+            def step(c, _):
+                c2, out = engine.mpc_step_batch(cfg, b, c, phases=phases)
+                return c2, (jnp.sum(out.obj),
+                            jnp.sum(out.feasible.astype(jnp.float32)),
+                            jnp.sum(out.scp_iters))
+
+            carries, metrics = jax.lax.scan(step, cs, None, length=length)
+            summary = tuple(jax.lax.psum(m, "data") for m in metrics)
+            return carries, summary
+
         def per_shard(b, cs):
+            if phases is not None:
+                return per_shard_batched(b, cs)
             carries, metrics = jax.vmap(per_instance)(b, cs)
             objs, feas, iters = metrics
             # Reduce over 'data' ONLY: results are replicated over 'model'

@@ -191,3 +191,25 @@ def test_mpc_step_batch_matches_vmap():
                                rtol=1e-9, atol=1e-10)
     np.testing.assert_array_equal(np.asarray(out2.feasible),
                                   np.asarray(out1.feasible))
+
+
+def test_distributed_sweep_batched_matches_plain():
+    """sweep(phases=single-full-phase) — the batched production stepping —
+    equals the per-instance sweep (identical math on the CPU path)."""
+    from scp_tpu.parallel import distributed
+    cfg, data = batch_lib.make_batch("circle", 16, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=2, qp_max_iter=8)
+    m = distributed.global_mesh()
+    c1, s1 = distributed.sweep(cfg, data, m, n_steps=2)
+    c2, s2 = distributed.sweep(cfg, data, m, n_steps=2,
+                               phases=((cfg.max_scp_iter, 1),))
+    np.testing.assert_allclose(np.asarray(c1.state), np.asarray(c2.state),
+                               rtol=1e-12, atol=1e-13)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(a, float),
+                                   np.asarray(b, float), rtol=1e-12)
+    import pytest
+    with pytest.raises(ValueError, match="incompatible"):
+        distributed.sweep(cfg, data, distributed.global_mesh(n_model=2),
+                          n_steps=1, phases=((2, 1),))
