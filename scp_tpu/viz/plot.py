@@ -167,7 +167,13 @@ def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
         os.makedirs(save_dir, exist_ok=True)
     if show:
         plt.ion()
-    fig, ax = plt.subplots(figsize=(7, 7))
+    # the reference's two-pane layout (plotOnline.py:14-118): per-vehicle
+    # steering staircases on the left, scenario/trajectory view right
+    n_stair = min(cfg.n_veh, 4)
+    fig = plt.figure(figsize=(11, 7))
+    gs = fig.add_gridspec(max(n_stair, 1), 3)
+    stair_axes = [fig.add_subplot(gs[v, 0]) for v in range(n_stair)]
+    ax = fig.add_subplot(gs[:, 1:])
     outs = []
     try:
         for i in range(n):
@@ -177,6 +183,7 @@ def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
                 lambda *xs: np.stack(xs), *outs)
             arrays = results_lib.sim_outputs_to_arrays(cfg, stacked)
             plot_step(ax, cfg, data, arrays, i)
+            plot_steering(stair_axes, cfg, arrays, i)
             if save_dir:
                 fig.savefig(os.path.join(save_dir, f"{i:04d}.png"), dpi=90)
             if show:
