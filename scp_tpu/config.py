@@ -48,10 +48,13 @@ TUNED_F32_OVERRIDES: dict[str, Any] = dict(
 # Straggler-repacking phase schedule for BATCHED f32 stepping
 # (engine.mpc_step_batch): from the warm-step done-by-k histogram (15% of
 # instances converged by iteration 3, 45% by 4, 80% by 6, 92% by 8);
-# 3 + 2/2 + 15/8 = 5.88 effective full-batch iterations. Closed-loop
-# feasibility cost of the 3-iteration first phase < 0.1%
-# (scripts/sched_quality.py).
-TUNED_F32_PHASES: tuple = ((3, 1), (2, 2), (15, 8))
+# 3 + 2/4 + 15/16 = 4.44 effective full-batch iterations. Recalibrated on
+# the r3 triangular-formation kernel (scripts/sweep_phases.py, 30-step
+# steady state): 9% faster than the previous (3,1),(2,2),(15,8) at equal
+# objective; 50-step closed-loop feasibility 0.99867 vs 0.99883
+# (scripts/sched_quality.py) — instances beyond a phase's capacity keep
+# their prior feasible iterate.
+TUNED_F32_PHASES: tuple = ((3, 1), (2, 4), (15, 16))
 
 
 def tuned_f32(cfg: "SCPConfig", **extra: Any) -> "SCPConfig":

@@ -21,14 +21,15 @@ from scp_tpu.scenarios import batch as batch_lib
 from scp_tpu.sim import engine
 from scp_tpu.solvers import scp
 
+from scp_tpu import config as config_lib
+
 BATCH, N_VEH, HP = 1024, 4, 20
-PHASES = ((3, 1), (2, 2), (15, 8))
+PHASES = config_lib.TUNED_F32_PHASES
 
 cfg, data = batch_lib.make_batch(
     "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
     n_veh=N_VEH)
-cfg = cfg.replace(hp=HP, hu=HP, delta_tol_rel=1e-4, u_step_tol=1e-5,
-                  merit_patience=2, qp_tol=1e-6, qp_fixed_iters=7)
+cfg = config_lib.tuned_f32(cfg.replace(hp=HP, hu=HP))
 carry0 = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
 
 # advance one step so we time the warm-started steady state (same as bench)

@@ -40,8 +40,8 @@ def run(phases, steps=50):
 ref_feas, ref_u, ref_x = run(((20, 1),))
 print(f"flat20: feas={ref_feas.mean():.5f}")
 for ph in (((3, 1), (2, 2), (15, 8)),
-           ((2, 1), (2, 2), (16, 8)),
-           ((2, 1), (2, 2), (2, 4), (14, 8))):
+           ((3, 1), (2, 4), (15, 16)),
+           ((3, 1), (3, 4), (14, 16))):
     f, u, x = run(ph)
     du = np.abs(u - ref_u).max()
     dp = np.abs(x[..., :2] - ref_x[..., :2]).max()

@@ -38,16 +38,13 @@ RTT = sorted(_rtts)[3]
 
 SCHEDULES = [
     ((3, 1), (2, 2), (15, 8)),          # current headline
-    # per-phase qp_fixed_iters overrides (third element): cheap early QPs
-    ((3, 1, 5), (2, 2), (15, 8)),
-    ((3, 1, 6), (2, 2), (15, 8)),
-    ((3, 1, 5), (2, 2, 7), (15, 8, 8)),
-    ((4, 1, 5), (2, 2), (14, 8)),
-    ((3, 1, 4), (2, 2), (15, 8)),
-    ((3, 1, 5), (2, 2, 6), (15, 8)),
-    ((3, 1), (2, 2), (2, 4), (13, 8)),
     ((3, 1), (2, 2), (15, 16)),
-    ((4, 1), (2, 2), (14, 8)),
+    ((3, 1), (2, 2), (2, 4), (13, 16)),
+    ((3, 1), (2, 2), (2, 4), (13, 8)),
+    ((3, 1), (2, 4), (15, 16)),
+    ((2, 1), (3, 2), (15, 8)),
+    ((3, 1), (3, 4), (14, 16)),
+    ((4, 1), (1, 4), (15, 16)),
 ]
 
 
@@ -59,7 +56,7 @@ def measure(phases):
     for _ in range(2):
         carry, out = step(data, carry)
     float(carry.state.sum())
-    N = 10
+    N = 30
     t0 = time.time()
     c = carry
     for _ in range(N):
