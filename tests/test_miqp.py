@@ -336,3 +336,41 @@ def test_closed_loop_side_selection_parallel_full_50():
     assert float(np.asarray(out.max_violation).max()) < 1e-4
     assert np.asarray(out.pred_feasible).all()
     assert np.asarray(out.sides_stable).mean() >= 0.8
+
+
+def test_closed_loop_side_selection_rectangle_full_50():
+    """FULL 50-step frog run in rotated-rectangle mode (obstAsQCQP=0).
+    Rectangle faces do not imply the circular QCQP criterion, so the
+    assertion is the TRUE rectangle separation at every plant tick (as in
+    the 6-step test) plus the hard-feasibility of the solved programs."""
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(controller="side_selection", obst_as_qcqp=False,
+                      qp_max_iter=25)
+    carry, out = _closed_loop(cfg, data)
+    assert np.isfinite(np.asarray(carry.state)).all()
+    # hard-feasible side-selection programs throughout (slack at IPM tol)
+    assert float(np.asarray(out.max_violation).max()) < 1e-4
+    assert np.asarray(out.sides_stable).mean() >= 0.9
+    states = np.asarray(out.states)          # (steps, tps, V, NX)
+    obst = np.asarray(data.obstacles)
+    r_veh = 0.5 * np.hypot(float(data.params.length[0]),
+                           float(data.params.width[0]))
+    t_of = (np.arange(states.shape[0])[:, None]
+            * cfg.ticks_per_sim + np.arange(1, cfg.ticks_per_sim + 1)[None]
+            ) * cfg.tick_length
+    pos = states[:, :, 0, :2]
+    margin = np.full(pos.shape[:2], np.inf)
+    for o in obst:
+        c0 = o[:2]
+        vel = o[3] * np.array([np.cos(o[2]), np.sin(o[2])])
+        centers = c0[None, None] + t_of[..., None] * vel[None, None]
+        d = pos - centers
+        cth, sth = np.cos(o[2]), np.sin(o[2])
+        dx = np.abs(cth * d[..., 0] + sth * d[..., 1])
+        dy = np.abs(-sth * d[..., 0] + cth * d[..., 1])
+        out_box = np.maximum(dx - (o[4] / 2 + r_veh),
+                             dy - (o[5] / 2 + r_veh))
+        margin = np.minimum(margin, out_box)
+    assert margin.min() > 0.0, f"rectangle overlap, margin {margin.min():.3f}"
+    # traverses the whole obstacle field
+    assert float(carry.state[0, 0]) > float(data.x0[0, 0]) + 60.0
