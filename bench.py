@@ -112,7 +112,10 @@ def worker():
     cfg1, data1 = builders.circle(N_VEH, dtype=jnp.float32)
     cfg1 = config_lib.tuned_f32(cfg1.replace(hp=HP, hu=HP))
     LSTEPS = 50                  # full closed loop (cfg.n_sim at dt=0.4)
-    REPS = 16
+    # REPS divides the rtt-subtraction error into each step measurement
+    # (±5 ms rtt jitter / REPS): 48 keeps it ~±0.1 ms on a ~0.7 ms step
+    # (16 gave ±0.3 ms — visible as 0.68-0.92 ms p50 spread across runs)
+    REPS = 48
 
     @jax.jit
     def advance(c):
