@@ -80,7 +80,10 @@ def worker():
         rtts.append(time.time() - t0)
     rtt = sorted(rtts)[len(rtts) // 2]
 
-    iters = 5
+    # enough chained steps that the rtt-subtraction error (rtt jitter /
+    # iters, +-5 ms observed) is <1% of the measured step time — 5 iters
+    # made the headline swing +-15% between runs
+    iters = 30
     t0 = time.time()
     for _ in range(iters):
         carry, feas = step_j(data, carry)

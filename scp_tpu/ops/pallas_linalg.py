@@ -513,14 +513,14 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
         assert (P_s + VO_s) * hp_s == mg, (g_struct, mg)
         hu8 = _pad_to(hu_s, _SUBLANE)
         n_veh_s = nu // hu_s
-        # The K-formation loop zeroes the never-read upper-triangle mirror
-        # only for ENUMERATED pairs; a partial pair list would leave
-        # uninitialized VMEM that the factor's trailing updates consume
-        # arithmetically (NaN risk). Require the full triu set.
-        assert set(pairs_s) == {(i, j) for i in range(n_veh_s)
-                                for j in range(i + 1, n_veh_s)}, \
-            f"g_struct pairs must cover the full triu set of {n_veh_s} " \
-            f"vehicles; got {pairs_s}"
+        # The K-formation loop only writes blocks for ENUMERATED pairs; any
+        # (i, j) not in the list — e.g. ghost alignment vehicles appended
+        # by qp.solve_qp_batched, which no constraint row touches — must
+        # still get its VMEM blocks ZEROED or the factor's trailing
+        # updates consume uninitialized memory arithmetically (NaN risk).
+        missing_pairs_s = tuple(
+            (i, j) for i in range(n_veh_s) for j in range(i + 1, n_veh_s)
+            if (i, j) not in set(pairs_s))
         assert n_veh_s * hu_s == nu and pb_dims == (n_veh_s, hu_s), \
             (pb_dims, nu, hu_s)
     assert n_iters == 1 or g_struct is not None, \
@@ -885,6 +885,16 @@ def make_ipm_iter_kernel(mg: int, n: int, m_true: int, tol: float,
                     zero_blk
                 _dadd(i, outer_sum(wA_i, A_i))
                 _dadd(j, outer_sum(wA_j, A_j))
+            for i, j in missing_pairs_s:
+                # un-constrained vehicle pair (masked topology or ghost
+                # alignment vehicle): the G contribution is exactly zero,
+                # but the Schur border term still applies and the VMEM
+                # scratch must not stay uninitialized.
+                blk = -(kbkb[i][:, None, :] * kbb[j][None, :, :])
+                kv_ref[pl.ds(i * hu_s, hu_s), pl.ds(j * hu_s, hu_s), :] = \
+                    blk[:hu_s, :hu_s, :]
+                kv_ref[pl.ds(j * hu_s, hu_s), pl.ds(i * hu_s, hu_s), :] = \
+                    zero_blk
             for o, v in enumerate(obst_veh):
                 A_v = gob_ref[o] * dscb[v][None, :, :]
                 wA_v = wgo_l[o] * dscb[v][None, :, :]

@@ -470,6 +470,67 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                 for s in g_slabs)
     B = b_pad
 
+    # --- ghost-vehicle alignment padding ---
+    # The fused structured kernel factors nu = n-1 columns in STATIC 8-row
+    # panels, so it needs (n-1) % 8 == 0 — which default hp=10 configs
+    # (e.g. frog v=1, parallel v=11) fail. When the block layout allows a
+    # cheap fix, append k GHOST VEHICLES (identity P block, zero cost,
+    # unit box bounds, touched by no constraint row) so nu' = (v+k)*hu is
+    # a sublane multiple. The padded QP is exactly separable — ghost
+    # variables decouple and solve to 0, the real block's optimum is
+    # unchanged — and the kernel zero-fills the ghost pair blocks
+    # (``missing_pairs_s``). Rejected when the padding would grow the
+    # factor noticeably (> max(hu, nu/4) extra columns): the O(nu^3)
+    # factor growth then outweighs the structured formation savings.
+    n_ghost_vars = 0
+    nu_real = n - 1
+    if (g_struct is not None and fixed_iters is not None and slack_schur
+            and p_blocks is not None and (n - 1) % 8 != 0):
+        hu_g = int(g_struct[3])
+        v_g = (n - 1) // hu_g
+        k_g = next((k for k in range(1, 9)
+                    if ((v_g + k) * hu_g) % 8 == 0), None)
+        if (v_g * hu_g == n - 1 and k_g is not None
+                and k_g * hu_g <= max(hu_g, (n - 1) // 4)
+                and p_blocks.shape[1] == v_g):
+            ng = k_g * hu_g
+            n_ghost_vars = ng
+
+            def _ins_cols(vec, fill):
+                return jnp.concatenate(
+                    [vec[:, :nu_real],
+                     jnp.full((B, ng), fill, dtype),
+                     vec[:, nu_real:]], axis=1)
+
+            q = _ins_cols(q, 0.0)
+            lb = _ins_cols(lb, -1.0)
+            ub = _ins_cols(ub, 1.0)
+            if x0 is not None:
+                x0 = _ins_cols(x0, 0.0)
+            if z0 is not None:
+                # ghost box duals: non-positive = "no information"
+                z0 = jnp.concatenate(
+                    [z0[:, :mg],
+                     _ins_cols(z0[:, mg:mg + n], 0.0),
+                     _ins_cols(z0[:, mg + n:], 0.0)], axis=1)
+            G = jnp.concatenate(
+                [G[:, :, :nu_real],
+                 jnp.zeros((B, mg, ng), dtype),
+                 G[:, :, nu_real:]], axis=2)
+            n2 = n + ng
+            P = jnp.zeros((B, n2, n2), dtype) \
+                .at[:, :nu_real, :nu_real].set(P[:, :nu_real, :nu_real]) \
+                .at[:, nu_real:nu_real + ng, nu_real:nu_real + ng].set(
+                    jnp.eye(ng, dtype=dtype))
+            # (the slack row/col of P are zero in this path by contract)
+            p_blocks = jnp.concatenate(
+                [p_blocks,
+                 jnp.broadcast_to(jnp.eye(hu_g, dtype=dtype),
+                                  (B, k_g, hu_g, hu_g))], axis=1)
+            n = n2
+            m = mg + 2 * n
+            n_pad = pll.pad_dim(n)
+
     # Structured mode: the fused kernel forms K from per-pair row slabs,
     # so the dense lane-layout G copy is never needed — the few setup and
     # certificate matvecs run as XLA einsums instead. With ``g_slabs`` the
@@ -537,6 +598,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             pi_idx = jnp.asarray([i for i, _ in pairs_s0], jnp.int32)
             pj_idx = jnp.asarray([j for _, j in pairs_s0], jnp.int32)
 
+            # xv has xv_shape0 = nu/hu vehicle blocks, which may exceed the
+            # slabs' REAL vehicle count when ghost alignment vehicles are
+            # appended (no constraint row touches them) — obstacle einsums
+            # run on the real prefix only.
+            v_real0 = gob_c.shape[1]
+
             def gmv(x):                                       # (n,B)->(mg,B)
                 # slab einsums; the implicit slack column adds -d_row * w
                 xv = t(x[:nu0]).reshape(B, -1, hu_s0)         # (B, V, U)
@@ -544,8 +611,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                                      precision=_HI)
                           + jnp.einsum("bpku,bpu->bpk", gj_c,
                                        xv[:, pj_idx], precision=_HI))
-                rows_o = jnp.einsum("bvoku,bvu->bvok", gob_c, xv,
-                                    precision=_HI)
+                rows_o = jnp.einsum("bvoku,bvu->bvok", gob_c,
+                                    xv[:, :v_real0], precision=_HI)
                 rows = jnp.concatenate(
                     [rows_p.reshape(B, -1), rows_o.reshape(B, -1)], axis=1)
                 return t(rows) - d_row.T * x[nu0][None, :]
@@ -558,8 +625,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                 cj = jnp.einsum("bpku,bpk->bpu", gj_c, vp, precision=_HI)
                 acc = jnp.zeros((B, xv_shape0, hu_s0), dtype) \
                     .at[:, pi_idx].add(ci).at[:, pj_idx].add(cj)
-                acc = acc + jnp.einsum("bvoku,bvok->bvu", gob_c, vo,
-                                       precision=_HI)
+                acc = acc.at[:, :v_real0].add(
+                    jnp.einsum("bvoku,bvok->bvu", gob_c, vo, precision=_HI))
                 slack = -jnp.sum(d_row * t(v), axis=1)        # (B,)
                 return jnp.concatenate(
                     [t(acc.reshape(B, nu0)), slack[None, :]], axis=0)
@@ -916,5 +983,16 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     z_unscaled = jnp.concatenate(
         [d_row[:B0] * zb[:, :mg], zb[:, mg:]], axis=1) \
         / cost_scale[:B0, None]
+    if n_ghost_vars:
+        # drop the ghost alignment variables (solved to ~0; their residual
+        # obj contribution is O(ipm_tol^2), far below f32 round-off)
+        xb = jnp.concatenate([xb[:, :nu_real], xb[:, -1:]], axis=1)
+        z_unscaled = jnp.concatenate([
+            z_unscaled[:, :mg],
+            z_unscaled[:, mg:mg + nu_real],                   # ub real
+            z_unscaled[:, mg + n - 1:mg + n],                 # ub slack
+            z_unscaled[:, mg + n:mg + n + nu_real],           # lb real
+            z_unscaled[:, -1:],                               # lb slack
+        ], axis=1)
     return QPSolution(x=xb, obj=obj, iters=iters,
                       converged=conv[:B0], gap=mu_f[:B0], z=z_unscaled)
