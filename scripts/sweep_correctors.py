@@ -16,7 +16,7 @@ from scp_tpu.scenarios import batch as batch_lib
 from scp_tpu.sim import engine
 
 BATCH, N_VEH, HP = 1024, 4, 20
-PHASES = ((3, 1), (2, 2), (15, 8))
+PHASES = ((3, 1), (2, 4), (15, 16))
 base_cfg, data = batch_lib.make_batch(
     "circle", BATCH, key=jax.random.PRNGKey(42), dtype=jnp.float32,
     n_veh=N_VEH)
@@ -33,7 +33,7 @@ def run(qpit, ncor, steps=50):
     for _ in range(2):
         carry, out = step(data, carry)
     float(carry.state.sum())
-    N = 10
+    N = 25
     t0 = time.time()
     c = carry
     for _ in range(N):
@@ -52,7 +52,7 @@ def run(qpit, ncor, steps=50):
     return dt, f, o
 
 
-for qpit, ncor in ((7, 0), (6, 1), (5, 1), (5, 2), (4, 2)):
+for qpit, ncor in ((7, 0), (6, 0), (6, 1), (5, 1), (5, 2)):
     dt, f, o = run(qpit, ncor)
     print(f"iters={qpit} cor={ncor}: step={dt*1e3:6.2f} ms  feas={f:.5f}  "
           f"obj={o:9.2f}")
