@@ -187,6 +187,7 @@ def test_fused_struct_matches_dense_interpret(hu):
                                    np.asarray(r_dense.x), atol=2e-4)
     else:
         import jax as _jax
+        was_x64 = _jax.config.jax_enable_x64
         _jax.config.update("jax_enable_x64", True)
         try:
             args64 = [jnp.asarray(a, jnp.float64) for a in args]
@@ -194,7 +195,7 @@ def test_fused_struct_matches_dense_interpret(hu):
                                          use_pallas=False)
             ox = np.asarray(oracle.x)
         finally:
-            _jax.config.update("jax_enable_x64", False)
+            _jax.config.update("jax_enable_x64", was_x64)
         np.testing.assert_allclose(np.asarray(r_struct.x), ox, atol=8e-3)
         np.testing.assert_allclose(np.asarray(r_dense.x), ox, atol=8e-3)
         np.testing.assert_allclose(np.asarray(r_struct.obj),
