@@ -230,10 +230,11 @@ def test_fused_struct_lower_tri_matches_dense_interpret(hu, hp):
 
 @pytest.mark.parametrize("v,hu,hp", [(3, 10, 6), (1, 10, 5)])
 def test_fused_struct_ghost_padding_interpret(v, hu, hp):
-    """(n-1) % 8 != 0 configs (default hp=10 shapes): the struct path
-    appends ghost alignment vehicles — identity P block, no constraint
-    rows — and must match the unpadded reference solver. v=3/hu=10 pads
-    nu 30 -> 40 (1 ghost); v=1/hu=10 pads 10 -> 40 (3 ghosts)."""
+    """(n-1) % 8 != 0 configs (default hp=10 shapes) must match the
+    unpadded reference solver. v=3/hu=10 engages the ghost padding
+    (nu 30 -> 40, 1 ghost vehicle); v=1/hu=10 would need 3 ghosts (30
+    extra columns on nu=10), which the cheapness bound rightly REJECTS —
+    that case pins the dense-fused fallback staying correct."""
     args, blocks, g_struct = _pair_sparse_qps(B=32, v=v, hu=hu, hp=hp,
                                               lower_tri=True)
     n = args[1].shape[1]
