@@ -45,7 +45,9 @@ def _build(args, dtype):
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if args.noise:
-        overrides["noise_std"] = 3e-6 * 100  # reference per-eval std, per-tick
+        # per-tick std matching the reference's measured carried-state
+        # dispersion (config.reference_noise_std derivation; Model.py:84-87)
+        overrides["noise_std"] = config_lib.reference_noise_std(cfg)
     if dtype == jnp.float32:
         # bench-calibrated settings, single source (config.TUNED_F32_OVERRIDES)
         for k, v in config_lib.TUNED_F32_OVERRIDES.items():
@@ -68,13 +70,23 @@ def cmd_run(args):
     n_steps = args.steps or cfg.n_sim
 
     t0 = time.time()
+    step_times = controller_runtimes = None
     if getattr(args, "plot", False) and args.mc == 1:
         # live per-step rendering (reference doOnlinePlot, main.py:208-209)
         from scp_tpu.viz import plot as plot_lib
 
+        step_times = []
         carry, out = plot_lib.run_live(
             cfg, data, n_steps=n_steps, key=jax.random.PRNGKey(args.seed),
-            save_dir=args.frames or None)
+            save_dir=args.frames or None, scenario=args.scenario,
+            step_times=step_times)
+    elif args.mc == 1 and args.export_json:
+        # host-driven stepping so the export carries REAL per-step
+        # stepTime/controllerRuntime measurements (main.py:222-223)
+        from scp_tpu.sim import engine
+
+        carry, out, step_times, controller_runtimes = engine.simulate_timed(
+            cfg, data, key=jax.random.PRNGKey(args.seed), n_steps=n_steps)
     elif args.mc > 1:
         # Monte-Carlo batch: straggler-repacked batched stepping with the
         # calibrated phase schedule (same engine path as bench.py).
@@ -83,8 +95,12 @@ def cmd_run(args):
         keys = jax.random.split(jax.random.PRNGKey(args.seed), args.mc)
         data_b = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (args.mc,) + x.shape), data)
+        # f64 (the reference-parity dtype) gets one full-capacity phase so
+        # every instance runs exact full-batch stepping — passing None here
+        # would silently hand stragglers mpc_step_batch's truncating default
+        # schedule (mirrors cmd_sweep's --batched phase choice).
         phases = (config_lib.TUNED_F32_PHASES
-                  if dtype == jnp.float32 else None)
+                  if dtype == jnp.float32 else ((cfg.max_scp_iter, 1),))
         carry, out = jax.jit(functools.partial(
             engine.simulate_batch, cfg, n_steps=n_steps, phases=phases))(
                 data_b, keys)
@@ -124,7 +140,9 @@ def cmd_run(args):
         results.save_npz(args.out, arrays)
         print(f"saved results to {args.out}", file=sys.stderr)
     if args.export_json:
-        results.export_reference_json(args.export_json, cfg, data, out)
+        results.export_reference_json(
+            args.export_json, cfg, data, out,
+            step_times=step_times, controller_runtimes=controller_runtimes)
         print(f"exported reference-format JSON to {args.export_json}",
               file=sys.stderr)
     if args.frames and not (getattr(args, "plot", False) and args.mc == 1):
@@ -133,7 +151,8 @@ def cmd_run(args):
         from scp_tpu.viz import plot
 
         arrays = sim_outputs_to_arrays(cfg, out)
-        paths = plot.render_video_frames(cfg, data, arrays, args.frames)
+        paths = plot.render_video_frames(cfg, data, arrays, args.frames,
+                                         scenario=args.scenario)
         print(f"wrote {len(paths)} frames to {args.frames}", file=sys.stderr)
 
 

@@ -62,6 +62,38 @@ def tuned_f32(cfg: "SCPConfig", **extra: Any) -> "SCPConfig":
     return cfg.replace(**{**TUNED_F32_OVERRIDES, **extra})
 
 
+# ---- reference noise-model mapping (Model.py:84-87) ----
+# The reference adds N(0, REF_NOISE_RHS_STD) to dx/dt and dy/dt on EVERY
+# RHS evaluation inside its adaptive integrators — per-evaluation noise
+# whose realized dispersion depends on the step sizes dopri5 takes, not a
+# well-defined SDE. What matters for the closed loop is the dispersion of
+# the CARRIED state, which comes from ONE dopri5 call spanning the full
+# dt = 0.4 s per MPC step (main.py:184-191, Q10 restart integration).
+# REF_NOISE_STEP_STD is that measured per-step position std
+# (scripts/measure_ref_noise.py: 2.8e-7 m at dt=0.4, atol=rtol=1e-8,
+# 4 m/s cruise; consistent with sigma_rhs * sum(h_i^2)^(1/2) * ~0.9 for
+# the ~9 internal steps dopri5 takes).
+REF_NOISE_RHS_STD = 3e-6      # Model.py:84-87
+REF_NOISE_STEP_STD = 2.8e-7   # measured carried-state std per MPC step [m]
+
+
+def reference_noise_std(cfg: "SCPConfig") -> float:
+    """Per-tick ``noise_std`` whose carried-state dispersion matches the
+    reference's noise runs.
+
+    Our engine adds N(0, (noise_std * tick_length)^2) to the position at
+    each of the ``ticks_per_sim`` ticks (sim/engine.rollout_plant), so the
+    per-step carried std is ``noise_std * tick_length * sqrt(ticks_per_sim)``.
+    Matching it to REF_NOISE_STEP_STD gives this mapping. (The in-step
+    time-correlation differs — the reference's logged tick k state carries
+    one integration's noise over span k*tick_length, ours a k-step random
+    walk — but the per-step dispersion that feeds back into the closed
+    loop is matched; asserted statistically in tests/test_invariants.py.)
+    """
+    return REF_NOISE_STEP_STD / (
+        cfg.tick_length * math.sqrt(cfg.ticks_per_sim))
+
+
 @dataclasses.dataclass(frozen=True)
 class SCPConfig:
     """Static solver/problem configuration (hashable; safe as a jit static arg).

@@ -108,12 +108,29 @@ def sweep(cfg, data_batch, mesh: Mesh, *, n_steps: int, keys=None,
         ckpt_load = checkpoint.load
 
     start = 0
-    if checkpoint_path and resume and ckpt_exists(checkpoint_path):
+    if checkpoint_path and resume and multiprocess:
+        # Processes must AGREE on the resume step: a kill landing between
+        # the per-process savez calls (or a missing file on one host) would
+        # otherwise resume processes from different steps — divergent
+        # collectives that hang or silently corrupt results. All-gather
+        # each process's locally-visible step (-1 = missing) and resume
+        # only when every process reports the same non-negative step;
+        # anything else restarts from 0 (correct: continuation is exact,
+        # the interrupted chunk is simply recomputed).
+        import numpy as np
+        local_step = -1
+        if ckpt_exists(checkpoint_path):
+            with np.load(checkpoint.proc_path(checkpoint_path)) as f:
+                local_step = int(f["step"])
+        from jax.experimental import multihost_utils
+        all_steps = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([local_step], jnp.int32))).ravel()
+        if all_steps.min() == all_steps.max() and all_steps[0] >= 0:
+            carries, start = ckpt_load(checkpoint_path, carries)
+    elif checkpoint_path and resume and ckpt_exists(checkpoint_path):
         loaded, start = ckpt_load(checkpoint_path, carries)
         carries = jax.tree_util.tree_map(
-            lambda x: (x if multiprocess
-                       else jax.device_put(x, data_sharding)),
-            loaded)
+            lambda x: jax.device_put(x, data_sharding), loaded)
 
     n_model = int(mesh.shape.get("model", 1))
     if n_model > 1 and cfg.controller != "scp":

@@ -148,3 +148,51 @@ def parallel(n_veh: int = 11, dtype=jnp.float64, **cfg_overrides):
 
 
 BUILDERS = {"circle": circle, "frog": frog, "parallel": parallel}
+
+
+# ---- host-side plot geometry (viz parity, not part of the jit pytrees) ----
+
+def plot_limits(scenario: str, n_veh: int = 0,
+                radius: float = 30.0) -> np.ndarray:
+    """Reference ``scenario.plotLimits`` (consumed at plotOnline.py:78-79).
+
+    Scenarios.py:87 (base), 123-125 (circle, incl. the 2-vehicle
+    near-horizontal special case), 146 (frog), 200 (parallel).
+    Returns ((xmin, xmax), (ymin, ymax)).
+    """
+    if scenario == "circle":
+        lim = 1.1 * radius * np.array([[-1.0, 1.0], [-1.0, 1.0]])
+        angles = [2 * math.pi / n_veh * (i + 1) for i in range(n_veh)]
+        if n_veh == 2 and max(abs(math.sin(a)) for a in angles) < 0.1:
+            lim[1] = [-6.0, 6.0]
+        return lim
+    if scenario == "frog":
+        return 35.0 * np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    if scenario == "parallel":
+        return np.array([[-50.0, 50.0], [-20.0, 20.0]])
+    return 5.0 * np.array([[-10.0, 10.0], [-10.0, 10.0]])
+
+
+def label_offsets(scenario: str, n_veh: int) -> np.ndarray:
+    """Reference per-vehicle ``labelOffset`` (n_veh, 2) — Model.py:30
+    default, Scenarios.py:116 (circle), 162 (parallel). The Python port
+    computes these but never draws them (MATLAB leftover); our viz uses
+    them to place the vehicle-number labels."""
+    out = np.zeros((n_veh, 2))
+    if scenario == "circle":
+        angles = [2 * math.pi / n_veh * (i + 1) for i in range(n_veh)]
+        for i, a in enumerate(angles):
+            c, s = math.cos(a), math.sin(a)
+            out[i] = (np.array([[3.0, -3.0]])
+                      @ np.array([[c, s], [-s, c]])
+                      + np.array([[-2.0, 0.0]]))[0]
+    elif scenario == "parallel":
+        _positions = np.arange(n_veh) - math.floor(n_veh / 2)
+        order = list(range(n_veh))
+        evens = order[0:n_veh:2]
+        evens.reverse()
+        order = evens + order[1:n_veh:2]
+        positions = np.zeros(n_veh)
+        positions[order] = _positions
+        out[:, 0] = -6.1 - 4.5 * np.mod(positions - 1, 2)
+    return out

@@ -56,6 +56,11 @@ class SimCarry(NamedTuple):
     # (V, NX) the MEASURED state: the plant state ticks_delay_x ticks in the
     # past (main.py:101-103 tick_of_measurement). Equals ``state`` when
     # delay_x == 0 (all shipped scenarios); None defaults to ``state``.
+    state_hist: jax.Array | None = None
+    # (ticks_delay_x, V, NX) ring buffer of the plant states at the
+    # ticks_delay_x ticks BEFORE the current step boundary — lets
+    # ticks_delay_x span any number of MPC steps (the reference reads the
+    # full-resolution path array, main.py:101-103); None when delay_x == 0.
 
 
 class StepOutput(NamedTuple):
@@ -205,10 +210,6 @@ def controller_pre(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
     # path at tick_now); delay compensation starts from the MEASURED state,
     # ticks_delay_x in the past (main.py:101-103, 113-117).
     u_max = dynamic_steering_limit(cfg, data, carry.state)
-    if cfg.ticks_delay_x > 0:
-        assert cfg.ticks_delay_x < cfg.ticks_per_sim, (
-            f"delay_x spans {cfg.ticks_delay_x} ticks >= one MPC step "
-            f"({cfg.ticks_per_sim}); the carry holds one step of history")
     x_meas = carry.state if carry.state_meas is None else carry.state_meas
 
     x0, delay_traj = delay_compensate(cfg, data, x_meas, carry.u_prev1)
@@ -285,12 +286,23 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     pred_feasible = (jnp.max(ci_v, initial=-jnp.inf) <= cfg.constraint_tolerance) & \
                     (jnp.max(ci_o, initial=-jnp.inf) <= cfg.constraint_tolerance)
 
+    d_ticks = cfg.ticks_delay_x
     if carry.state_meas is None:
-        state_meas = None
+        state_meas = state_hist = None
+    elif d_ticks == 0:
+        state_meas, state_hist = states[-1], None
     else:
-        # the state ticks_delay_x in the past at the NEXT step boundary
-        # (states[j] is the plant state at tick j+1 of this step)
-        state_meas = states[cfg.ticks_per_sim - 1 - cfg.ticks_delay_x]
+        # Tick-resolution measurement history: ``full`` covers ticks
+        # T-D .. T+tps of the global tick grid (T = this step's start,
+        # D = ticks_delay_x); the measured state at the NEXT boundary is
+        # tick T+tps-D and the carried history the D ticks before it.
+        # Works for delay_x spanning ANY number of MPC steps — the
+        # reference's tick bookkeeping reads the full-resolution path
+        # array the same way (main.py:101-103).
+        full = jnp.concatenate(
+            [carry.state_hist, carry.state[None], states], axis=0)
+        state_meas = full[cfg.ticks_per_sim]
+        state_hist = full[cfg.ticks_per_sim:cfg.ticks_per_sim + d_ticks]
     new_carry = SimCarry(
         state=states[-1],
         u_prev2=carry.u_prev1,
@@ -299,6 +311,7 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         step=carry.step + 1,
         key=key,
         state_meas=state_meas,
+        state_hist=state_hist,
     )
     out = StepOutput(
         states=states, u_applied=u_cmd, u_pred=U, traj_pred=traj_pred,
@@ -317,9 +330,13 @@ def step_post(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     return new_carry, out
 
 
-def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
-             dtype=None) -> tuple[SimCarry, StepOutput]:
-    """One complete MPC step (controller + plant)."""
+def mpc_controller(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
+    """Controller half of one MPC step — the reference's controllerTimer
+    window (main.py:120-142): preprocessing + SCP / side-selection solve.
+
+    Returns ``(res, aux, sides_stable, key, key_noise)``;
+    :func:`step_post` completes the step. Split out so host drivers can
+    time the controller separately (``simulate_timed``)."""
     key, key_noise = jax.random.split(carry.key)
     problem, aux = controller_pre(cfg, data, carry)
     sys_, u_max, ref_pts, x0, obst_pos, delay_traj = aux
@@ -328,6 +345,7 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
         res = scp.solve_scp(problem, carry.u_warm,
                             max_scp_iter=cfg.max_scp_iter,
                             **_scp_kwargs(cfg))
+        return res, aux, None, key, key_noise
     elif cfg.controller == "side_selection":
         from scp_tpu.solvers import miqp
 
@@ -358,12 +376,17 @@ def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
             obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
             iters=ss.rounds, qp_iters=ss.qp_iters,
             qp_fails=jnp.asarray(0))
-        return step_post(cfg, data, carry, res, aux, key, key_noise,
-                         sides_stable=ss.sides_stable)
+        return res, aux, ss.sides_stable, key, key_noise
     else:
         raise ValueError(f"unknown controller {cfg.controller!r}")
 
-    return step_post(cfg, data, carry, res, aux, key, key_noise)
+
+def mpc_step(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
+             dtype=None) -> tuple[SimCarry, StepOutput]:
+    """One complete MPC step (controller + plant)."""
+    res, aux, sides_stable, key, key_noise = mpc_controller(cfg, data, carry)
+    return step_post(cfg, data, carry, res, aux, key, key_noise,
+                     sides_stable=sides_stable)
 
 
 def mpc_step_horizon(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
@@ -437,6 +460,10 @@ def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:
         key=key,
         # tick_of_measurement = max(0, 0 - ticks_delay_x) -> initial state
         state_meas=data.x0,
+        # ticks before t=0 measure the initial state (the max(0, .) clamp)
+        state_hist=(jnp.broadcast_to(
+            data.x0, (cfg.ticks_delay_x,) + data.x0.shape) + 0.0
+            if cfg.ticks_delay_x > 0 else None),
     )
 
 
@@ -462,6 +489,54 @@ def simulate_batch(cfg: SCPConfig, data: ScenarioData, keys=None,
         return mpc_step_batch(cfg, data, c, **kw)
 
     return jax.lax.scan(step, carry, None, length=n)
+
+
+def simulate_timed(cfg: SCPConfig, data: ScenarioData, key=None,
+                   n_steps: int | None = None, warmup: bool = True):
+    """Host-driven closed loop with per-step wall-clock measurement.
+
+    The reference measures ``controllerRuntime`` around the controller call
+    (main.py:120,142) and ``stepTime`` around the whole step
+    (main.py:100,194) and dumps both per step. The scanned
+    :func:`simulate` runs all steps inside one XLA program, so no per-step
+    host time exists there; this driver dispatches each step as two jitted
+    calls (controller, then clamp/plant/metrics) with forced readbacks
+    between (``block_until_ready`` does not sync through the TPU tunnel).
+
+    ``warmup``: run one throwaway step first so compile time is not billed
+    to step 0 (the step functions are pure — the discarded warm-up run is
+    side-effect-free).
+
+    Returns ``(final_carry, stacked StepOutput, step_times,
+    controller_runtimes)`` — the time lists in seconds, ready for
+    ``results.export_reference_json``.
+    """
+    import functools
+    import time
+
+    import numpy as np
+
+    ctrl_j = jax.jit(functools.partial(mpc_controller, cfg, data))
+    post_j = jax.jit(functools.partial(step_post, cfg, data))
+    carry = init_carry(cfg, data, key)
+    n = n_steps if n_steps is not None else cfg.n_sim
+    if warmup:
+        res_w, aux_w, ss_w, k_w, kn_w = ctrl_j(carry)
+        jax.device_get(post_j(carry, res_w, aux_w, k_w, kn_w,
+                              sides_stable=ss_w)[1].obj)
+    outs, step_times, ctrl_times = [], [], []
+    for _ in range(n):
+        t0 = time.time()
+        res, aux, ss, k, kn = ctrl_j(carry)
+        jax.device_get(res.obj)                    # forced readback
+        t1 = time.time()
+        carry, out = post_j(carry, res, aux, k, kn, sides_stable=ss)
+        outs.append(jax.device_get(out))
+        t2 = time.time()
+        ctrl_times.append(t1 - t0)
+        step_times.append(t2 - t0)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *outs)
+    return carry, stacked, step_times, ctrl_times
 
 
 def simulate(cfg: SCPConfig, data: ScenarioData, key=None,

@@ -49,6 +49,7 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
              x0=None, z0=None, fixed_iters: int | None = None,
              cheap_k: bool = False, refine_steps: int = 0,
              use_pallas: bool | None = None,
+             correctors: int = 0,
              axis_name: str | None = None,
              mg_total: int | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
@@ -279,6 +280,27 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         alpha_d = max_step(z, dz)
         alpha = jnp.minimum(alpha_p, alpha_d)
 
+        # Gondzio multiple centrality correctors: extra backsolves on the
+        # SAME factor that push the complementarity products of an enlarged
+        # trial step into [0.1, 10]*(sigma mu); accepted only when the
+        # combined step length actually grows (same recipe as the fused
+        # kernel, pallas_linalg.make_ipm_iter_kernel).
+        smu = sigma * mu
+        zero_n = jnp.zeros_like(rd)
+        zero_m = jnp.zeros_like(rp)
+        for _ in range(correctors):
+            at = jnp.minimum(alpha + 0.1, 1.0)
+            v_t = (s + at * ds) * (z + at * dz)
+            drc = v_t - jnp.clip(v_t, 0.1 * smu, 10.0 * smu)
+            dx_c, ds_c, dz_c = kkt_solve(L, dsc, s, z, zero_n, zero_m, drc)
+            dx2, ds2, dz2 = dx + dx_c, ds + ds_c, dz + dz_c
+            alpha2 = jnp.minimum(max_step(s, ds2), max_step(z, dz2))
+            acc = alpha2 >= alpha + 0.01
+            dx = jnp.where(acc, dx2, dx)
+            ds = jnp.where(acc, ds2, ds)
+            dz = jnp.where(acc, dz2, dz)
+            alpha = jnp.where(acc, alpha2, alpha)
+
         x_new = x + alpha * dx
         s_new = s + alpha * ds
         z_new = z + alpha * dz
@@ -426,13 +448,15 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             return jax.vmap(
                 lambda P, q, G, h, lb, ub, x0: solve_qp(
                     P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
-                    fixed_iters=fixed_iters, use_pallas=False)
+                    fixed_iters=fixed_iters, correctors=correctors,
+                    use_pallas=False)
             )(P, q, G, h, lb, ub,
               jnp.zeros_like(q) if x0 is None else x0)
         return jax.vmap(
             lambda P, q, G, h, lb, ub, x0, z0: solve_qp(
                 P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
-                z0=z0, fixed_iters=fixed_iters, use_pallas=False)
+                z0=z0, fixed_iters=fixed_iters, correctors=correctors,
+                use_pallas=False)
         )(P, q, G, h, lb, ub,
           jnp.zeros_like(q) if x0 is None else x0, z0)
 

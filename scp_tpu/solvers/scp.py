@@ -163,6 +163,7 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                           z0=c.z if qp_warm_dual else None,
                           fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k,
+                          correctors=qp_correctors,
                           axis_name=axis_name, mg_total=n_con_total)
         # NaN guard: a diverged inner solve must not poison the iterate.
         # (sol.x is replicated across horizon shards, so no cross-shard
@@ -248,6 +249,11 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
     (lane-layout factors/matvecs, no per-iteration transposes). Measured
     ~1.4x faster than the vmapped path on a v5e at B=1024.
     """
+    if qp_cheap_k:
+        raise NotImplementedError(
+            "qp_cheap_k (single-pass bf16 KKT) is a per-instance-path "
+            "experiment — measured to break SCP convergence (BENCHMARKS.md) "
+            "— and is not supported by the stacked/fused QP path")
     sys = problem.sys
     dtype = u_init.dtype
     b, v, hp, _, hu = sys.b3.shape

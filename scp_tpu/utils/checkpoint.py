@@ -15,10 +15,22 @@ import jax
 import numpy as np
 
 
+def _atomic_savez(path: str, **payload) -> None:
+    """Write an .npz atomically: temp file in the same directory, then
+    ``os.replace``. A kill mid-write must never leave a corrupt checkpoint
+    behind — that would defeat the kill/resume feature this file exists for
+    (``np.load`` would crash on the truncated file at resume)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if not path.endswith(".npz"):
+        path = path + ".npz"  # np.savez force-appends; normalize for replace
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+
+
 def save(path: str, carry: Any, step: int) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(carry)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
+    _atomic_savez(
         path,
         step=np.asarray(step),
         n_leaves=np.asarray(len(leaves)),
@@ -97,9 +109,7 @@ def save_sharded(path: str, carry: Any, step: int) -> None:
         payload[f"leaf_{i}"] = block
         payload[f"start_{i}"] = np.asarray(start)
         payload[f"gshape_{i}"] = np.asarray(leaf.shape)
-    p = proc_path(path)
-    os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-    np.savez_compressed(p, **payload)
+    _atomic_savez(proc_path(path), **payload)
 
 
 def load_sharded(path: str, carry_like: Any, sharding) -> tuple[Any, int]:

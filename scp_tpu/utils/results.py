@@ -74,7 +74,8 @@ def obstacle_path_full_res(cfg, data) -> np.ndarray:
     return path
 
 
-def export_reference_json(path: str, cfg, data, out) -> None:
+def export_reference_json(path: str, cfg, data, out,
+                          step_times=None, controller_runtimes=None) -> None:
     """Export in the reference's result schema — ALL 11 keys of the
     main.py:213-224 dump, so the reference's draw_video.py can consume runs.
 
@@ -82,6 +83,14 @@ def export_reference_json(path: str, cfg, data, out) -> None:
     tick states / constant-velocity extrapolation; the per-step
     delay-compensation trajectories come from StepOutput.delay_traj
     (MPC_Iter.py:31-33 / main.py:98,213).
+
+    ``step_times`` / ``controller_runtimes``: measured per-step host wall
+    times [s] (the reference's ``stepTime`` / ``controllerRuntime``,
+    main.py:100,120,142,194) — available from host-driven runs
+    (``engine.simulate_timed``, ``viz.plot.run_live(step_times=...)``).
+    Batched/scanned runs execute all steps inside one XLA program, so NO
+    per-step host time exists for them: the keys are zero-filled then
+    (schema-complete; zeros mean "not measured", not "took 0 s").
     """
     arrays = sim_outputs_to_arrays(cfg, out)
     n_sim, tps, n_veh, nx = arrays["states"].shape
@@ -104,8 +113,11 @@ def export_reference_json(path: str, cfg, data, out) -> None:
         "MPC_delay_compensation_trajectory":
             arrays["delay_traj"].transpose(1, 2, 3, 0).tolist(),
         "evaluations_obj_value": arrays["pred_obj"].tolist(),
-        "stepTime": [0.0] * n_sim,
-        "controllerRuntime": [0.0] * n_sim,
+        "stepTime": (list(map(float, step_times)) if step_times is not None
+                     else [0.0] * n_sim),
+        "controllerRuntime": (list(map(float, controller_runtimes))
+                              if controller_runtimes is not None
+                              else [0.0] * n_sim),
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:

@@ -79,19 +79,29 @@ def violation_flags(cfg, data, arrays: dict, step: int) -> np.ndarray:
     return viol
 
 
-def plot_step(ax, cfg, data, arrays: dict, step: int):
+def plot_step(ax, cfg, data, arrays: dict, step: int,
+              scenario: str | None = None):
     """Draw one simulation step into a matplotlib axes.
 
     arrays: output of ``utils.results.sim_outputs_to_arrays``. Matches the
     reference view (plotOnline.py:70-117): references, predictions, the
     delay-compensation spur, vehicle/obstacle rectangles, and red stars on
     predicted steps that violate an avoidance constraint.
+
+    ``scenario``: when given, applies the reference's fixed axis limits
+    (``plotLimits``, plotOnline.py:78-79 / Scenarios.py:123-125,146,200)
+    and vehicle-number label placement (``labelOffset``) instead of
+    matplotlib auto-scaling.
     """
+    from scp_tpu.scenarios import builders as _builders
+
     states = arrays["states"]          # (Nsim, tps, V, NX)
     traj_pred = arrays["traj_pred"]    # (Nsim, HP, NY, V)
     refs = arrays["ref_points"]        # (Nsim, V, HP, 2)
     n_veh = states.shape[2]
     obstacles = np.asarray(data.obstacles)
+    offsets = (_builders.label_offsets(scenario, n_veh)
+               if scenario is not None else None)
 
     ax.clear()
     # driven path up to now
@@ -107,7 +117,11 @@ def plot_step(ax, cfg, data, arrays: dict, step: int):
         x, y, ang = states[step, -1, v, 0], states[step, -1, v, 1], states[step, -1, v, 2]
         rect = transformed_rectangle(
             x, y, ang, float(data.params.length[v]), float(data.params.width[v]))
-        ax.plot(rect[:, 0], rect[:, 1], "k-", lw=1)
+        # filled vehicle polygon with black edge (plotOnline.py:94 ax2.fill)
+        ax.fill(rect[:, 0], rect[:, 1], fc=f"C{v % 10}", ec="k", lw=1)
+        if offsets is not None:
+            ax.annotate(str(v + 1), (x + offsets[v, 0], y + offsets[v, 1]),
+                        fontsize=8, ha="center", va="center")
     if len(obstacles):
         t = (step + 1) * cfg.dt
         centers = obstacle_position(obstacles, t)
@@ -115,13 +129,20 @@ def plot_step(ax, cfg, data, arrays: dict, step: int):
             rect = transformed_rectangle(
                 centers[o, 0], centers[o, 1], obstacles[o, OBST_HEADING],
                 obstacles[o, OBST_LENGTH], obstacles[o, OBST_WIDTH])
-            ax.plot(rect[:, 0], rect[:, 1], "r-", lw=1)
+            # obstacles filled black (plotOnline.py:100-101)
+            ax.fill(rect[:, 0], rect[:, 1], color="k")
     # red stars on violated predicted steps (plotOnline.py:105-117)
     viol = violation_flags(cfg, data, arrays, step)
     for v in range(n_veh):
         for k in np.nonzero(viol[v])[0]:
             ax.plot(traj_pred[step, k, 0, v], traj_pred[step, k, 1, v], "r*")
     ax.set_aspect("equal")
+    ax.set_xlabel(r"$x$ [m]")
+    ax.set_ylabel(r"$y$ [m]")
+    if scenario is not None:
+        lim = _builders.plot_limits(scenario, n_veh)
+        ax.set_xlim(lim[0])
+        ax.set_ylim(lim[1])
     ax.set_title(f"step {step}")
 
 
@@ -138,7 +159,8 @@ def plot_steering(ax_list, cfg, arrays: dict, step: int):
 
 def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
              save_dir: str | None = None, show: bool = True,
-             on_step=None):
+             on_step=None, scenario: str | None = None,
+             step_times: list | None = None):
     """Closed-loop simulation with LIVE per-step rendering.
 
     The reference's online-plotting mode (``doOnlinePlot``, main.py:208-209
@@ -147,12 +169,25 @@ def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
     past path, references, predictions, delay spur, rectangles, violation
     stars. ``show`` uses matplotlib interactive mode (``plt.pause``);
     ``save_dir`` additionally writes a PNG per step; ``on_step(i, arrays)``
-    is an optional callback (used by tests and custom frontends).
+    is an optional callback (used by tests and custom frontends) receiving
+    the step-count-so-far view of the accumulated arrays.
+
+    Host cost is FLAT per step: outputs are written into preallocated
+    (n_steps, ...) arrays and the plot/callback sees O(1) slices — no
+    re-stacking of the whole history each step (the r3 version was O(n^2)
+    in step count).
+
+    ``step_times``: optional list the per-step wall-clock times [s] are
+    appended to (measured around the jitted step with a forced scalar
+    readback — ``block_until_ready`` does not sync through the TPU
+    tunnel); feed them to ``results.export_reference_json`` to populate
+    the reference's ``stepTime`` key (main.py:100,194).
 
     Returns ``(final_carry, stacked StepOutput)`` — identical payload to
     :func:`scp_tpu.sim.engine.simulate` so callers can summarize either way.
     """
     import functools
+    import time
 
     import jax
     import matplotlib.pyplot as plt
@@ -174,15 +209,26 @@ def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
     gs = fig.add_gridspec(max(n_stair, 1), 3)
     stair_axes = [fig.add_subplot(gs[v, 0]) for v in range(n_stair)]
     ax = fig.add_subplot(gs[:, 1:])
-    outs = []
+    full: dict | None = None     # preallocated (n, ...) accumulation arrays
+    out_struct = None
     try:
         for i in range(n):
+            t0 = time.time()
             carry, out = step_j(carry)
-            outs.append(jax.device_get(out))
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs), *outs)
-            arrays = results_lib.sim_outputs_to_arrays(cfg, stacked)
-            plot_step(ax, cfg, data, arrays, i)
+            out_np = jax.device_get(out)
+            if step_times is not None:
+                # device_get forces the full readback — honest completion
+                step_times.append(time.time() - t0)
+            step_arrays = results_lib.sim_outputs_to_arrays(
+                cfg, jax.tree_util.tree_map(lambda x: x[None], out_np))
+            if full is None:
+                out_struct = out_np
+                full = {k: np.empty((n,) + v.shape[1:], v.dtype)
+                        for k, v in step_arrays.items()}
+            for k, v in step_arrays.items():
+                full[k][i] = v[0]
+            arrays = {k: v[: i + 1] for k, v in full.items()}  # O(1) views
+            plot_step(ax, cfg, data, arrays, i, scenario=scenario)
             plot_steering(stair_axes, cfg, arrays, i)
             if save_dir:
                 fig.savefig(os.path.join(save_dir, f"{i:04d}.png"), dpi=90)
@@ -195,12 +241,15 @@ def run_live(cfg, data, n_steps=None, key=None, pause: float = 0.02,
         if show:
             plt.ioff()
         plt.close(fig)
-    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *outs)
+    # rebuild the StepOutput structure from the accumulated arrays (the
+    # sim_outputs_to_arrays keys are exactly the StepOutput field names)
+    stacked = type(out_struct)(
+        **{f: full[f] for f in type(out_struct)._fields})
     return carry, stacked
 
 
 def render_video_frames(cfg, data, arrays: dict, out_dir: str,
-                        steps=None) -> list:
+                        steps=None, scenario: str | None = None) -> list:
     """Offline per-step PNG frames (draw_video.py:86-124 equivalent)."""
     import matplotlib
     matplotlib.use("Agg")
@@ -212,7 +261,7 @@ def render_video_frames(cfg, data, arrays: dict, out_dir: str,
     paths = []
     fig, ax = plt.subplots(figsize=(7, 7))
     for i in steps:
-        plot_step(ax, cfg, data, arrays, i)
+        plot_step(ax, cfg, data, arrays, i, scenario=scenario)
         p = os.path.join(out_dir, f"{i:04d}.png")
         fig.savefig(p, dpi=90)
         paths.append(p)
