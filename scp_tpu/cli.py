@@ -49,8 +49,13 @@ def _build(args, dtype):
         # dispersion (config.reference_noise_std derivation; Model.py:84-87)
         overrides["noise_std"] = config_lib.reference_noise_std(cfg)
     if dtype == jnp.float32:
-        # bench-calibrated settings, single source (config.TUNED_F32_OVERRIDES)
-        for k, v in config_lib.TUNED_F32_OVERRIDES.items():
+        # bench-calibrated settings, single source (config.TUNED_F32_OVERRIDES;
+        # the side-selection controller needs its own deeper QP calibration,
+        # config.TUNED_F32_SIDE_SELECTION)
+        tuned = dict(config_lib.TUNED_F32_OVERRIDES)
+        if overrides.get("controller") == "side_selection":
+            tuned.update(config_lib.TUNED_F32_SIDE_SELECTION)
+        for k, v in tuned.items():
             overrides.setdefault(k, v)
     if overrides:
         cfg = cfg.replace(**overrides)

@@ -45,6 +45,18 @@ TUNED_F32_OVERRIDES: dict[str, Any] = dict(
     delta_tol_rel=1e-4, u_step_tol=1e-5, merit_patience=2,
     qp_tol=1e-6, qp_fixed_iters=7)
 
+# Side-selection controller f32 calibration (scripts/ss_throughput.py +
+# 50-step canonical closed loops): its single-QP-per-round solves need a
+# DEEPER fixed iteration count than the SCP loop's 7 — there is no outer
+# SCP iteration to absorb a sloppy solve, and parallel-11 collapses to
+# 0.52-0.86 closed-loop feasibility at k <= 10. 12 final / 8 candidate
+# iterations match the f64 adaptive reference on both canonical scenarios
+# (frog obj 288 vs 297 feas 1.0; parallel-11 obj 4700 vs 4695 feas 1.0,
+# sides_stable 0.98). Candidate solves only rank; the winner is re-solved
+# at full accuracy by the reselection round.
+TUNED_F32_SIDE_SELECTION: dict[str, Any] = dict(
+    qp_fixed_iters=12, side_selection_cand_iters=8, qp_tol=1e-6)
+
 # Straggler-repacking phase schedule for BATCHED f32 stepping
 # (engine.mpc_step_batch): from the warm-step done-by-k histogram (15% of
 # instances converged by iteration 3, 45% by 4, 80% by 6, 92% by 8);
@@ -178,6 +190,10 @@ class SCPConfig:
     # replacement of the big-M MIQP, see scp_tpu/solvers/miqp.py).
     controller: str = "scp"
     side_selection_rounds: int = 2
+    # side-selection candidate-phase QP iteration count (0 = use
+    # qp_fixed_iters): candidates only need ranking fidelity — the winner
+    # is refined at full accuracy by the reselection round(s)
+    side_selection_cand_iters: int = 0
     # obstAsQCQP (Config.py:8, MIQP.py:224-253): True = obstacles as circles
     # at the safety distance; False = rotated rectangles with chord-augmented
     # dimensions (side_selection controller only).

@@ -121,7 +121,8 @@ def _pair_diff(pos: jax.Array, v: int) -> jax.Array:
     return jnp.stack([pos[i] - pos[j] for i, j in pairs])
 
 
-def linearize_slabs(sys: ConstraintSystem, u: jax.Array):
+def linearize_slabs(sys: ConstraintSystem, u: jax.Array,
+                    with_values: bool = False):
     """Linearize every constraint at ``u`` into PAIR-SPARSE row slabs.
 
     Same math as :func:`linearize` (the reference's ``Psi^T + 2 u^T Phi``
@@ -133,6 +134,12 @@ def linearize_slabs(sys: ConstraintSystem, u: jax.Array):
     ``g_slabs``), whose Pallas kernel consumes exactly these slabs.
     Coupling masks are already applied. Returns ``(gi, gj, gob, rhs)``
     with rhs over rows ordered [pairs p-major k-minor | (v, o) k-minor].
+
+    ``with_values``: additionally return the raw constraint values
+    ``(c_pair (P, K), c_obst (V, O, K))`` computed on the way (they are
+    free by-products of the linearization — the SCP loop otherwise pays a
+    second full position/constraint pass in :func:`evaluate` per
+    iteration; feed them to :func:`violations_from_values`).
     """
     v, k, _, hu = sys.b3.shape
     pos = positions(sys, u)
@@ -169,6 +176,8 @@ def linearize_slabs(sys: ConstraintSystem, u: jax.Array):
     rhs_obst = jnp.where(sys.obst_mask[:, :, None] > 0, rhs_obst, big)
 
     rhs = jnp.concatenate([rhs_pair.reshape(-1), rhs_obst.reshape(-1)])
+    if with_values:
+        return gi, gj, gv, rhs, c_pair, c_obst
     return gi, gj, gv, rhs
 
 
@@ -235,6 +244,14 @@ def evaluate(sys: ConstraintSystem, u: jax.Array, tol: float,
     the single-vehicle skip.
     """
     c_pair, c_obst = constraint_values(sys, u)
+    return violations_from_values(sys, c_pair, c_obst, tol, compat_q5)
+
+
+def violations_from_values(sys: ConstraintSystem, c_pair, c_obst, tol: float,
+                           compat_q5: bool = True) -> Violations:
+    """:func:`evaluate`'s bookkeeping on PRECOMPUTED constraint values —
+    lets the SCP loop reuse the values :func:`linearize_slabs` already
+    computed instead of paying a second position/constraint pass."""
     n_veh = sys.b3.shape[0]
 
     pair_viol = jnp.where(c_pair > tol, c_pair, 0.0) * sys.pair_mask[:, None]
@@ -251,7 +268,7 @@ def evaluate(sys: ConstraintSystem, u: jax.Array, tol: float,
     if compat_q5:
         # multiplicity (nVeh - 1 - v) per vehicle v in the reference sum
         mult = jnp.maximum(
-            n_veh - 1 - jnp.arange(n_veh, dtype=u.dtype), 0.0)
+            n_veh - 1 - jnp.arange(n_veh, dtype=c_pair.dtype), 0.0)
         sum_obst = jnp.einsum("v,vok->", mult, obst_viol)
     else:
         sum_obst = jnp.sum(obst_viol)

@@ -428,9 +428,10 @@ def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     ``solve_scp_batch``), but typically ~1.5x faster: converged instances
     stop paying for the few that run to the SCP iteration cap.
     """
+    if cfg.controller == "side_selection":
+        return _side_selection_step_batch(cfg, data, carry)
     if cfg.controller != "scp":
-        # straggler repacking targets the SCP iteration spread; other
-        # controllers (fixed-round side selection) batch plainly
+        # unknown controllers fall back to the per-instance dispatcher
         return jax.vmap(lambda d, c: mpc_step(cfg, d, c))(data, carry)
     keys = jax.vmap(jax.random.split)(carry.key)   # (B, 2, key)
     key, key_noise = keys[:, 0], keys[:, 1]
@@ -446,6 +447,57 @@ def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     return jax.vmap(
         lambda d, c, r, a, k, kn: step_post(cfg, d, c, r, a, k, kn)
     )(data, carry, res, aux, key, key_noise)
+
+
+def _side_selection_step_batch(cfg: SCPConfig, data: ScenarioData,
+                               carry: SimCarry):
+    """Batched side-selection MPC step: the controller's QPs (all
+    first-round candidates + every reselection round) run through the
+    natively-batched/fused ``solve_qp_batched`` path
+    (``miqp.solve_side_selection_stacked``) instead of per-instance
+    ``solve_qp`` under vmap — the same treatment the SCP controller gets
+    from ``solve_scp_stacked`` (VERDICT r3 top item)."""
+    from scp_tpu.solvers import miqp
+
+    keys = jax.vmap(jax.random.split)(carry.key)   # (B, 2, key)
+    key, key_noise = keys[:, 0], keys[:, 1]
+    problem, aux = jax.vmap(
+        lambda d, c: controller_pre(cfg, d, c))(data, carry)
+    sys_, u_max, ref_pts, x0, obst_pos, delay_traj = aux
+    b = carry.u_warm.shape[0]
+
+    if cfg.obst_as_qcqp or cfg.n_obst == 0:
+        rect = {}
+    else:
+        normals, dists = jax.vmap(
+            lambda ob, sp, ln, wd: miqp.rectangle_obstacle_geometry(
+                ob, sp, ln, wd, cfg.dt)
+        )(data.obstacles, x0[:, :, 3], data.params.length,
+          data.params.width)
+        rect = {"obst_normals": normals, "obst_dists": dists}
+    ss = miqp.solve_side_selection_stacked(
+        sys_, ref_pts, data.params.q, data.params.q_final, data.params.r,
+        carry.u_prev1, u_max, carry.u_warm,
+        du_lim=cfg.u_lim,
+        slack_weight=cfg.slack_weight, slack_ub=cfg.slack_ub,
+        constraint_tolerance=cfg.constraint_tolerance,
+        n_rounds=cfg.side_selection_rounds,
+        dsafe_pair=jax.vmap(lambda d, s: d.dsafe_veh[s.pair_i, s.pair_j])(
+            data, sys_),
+        dsafe_obst=data.dsafe_obst,
+        qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+        qp_fixed_iters=cfg.qp_fixed_iters or None,
+        qp_candidate_iters=cfg.side_selection_cand_iters or None,
+        qp_correctors=cfg.qp_correctors, **rect)
+    res = scp.SCPResult(
+        u=ss.u, feasible=ss.feasible, converged=ss.converged,
+        obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
+        iters=ss.rounds, qp_iters=ss.qp_iters,
+        qp_fails=jnp.zeros((b,), jnp.int32))
+    return jax.vmap(
+        lambda d, c, r, a, k, kn, st: step_post(cfg, d, c, r, a, k, kn,
+                                                sides_stable=st)
+    )(data, carry, res, aux, key, key_noise, ss.sides_stable)
 
 
 def init_carry(cfg: SCPConfig, data: ScenarioData, key=None) -> SimCarry:

@@ -71,27 +71,22 @@ def select_sides(delta: jax.Array) -> jax.Array:
     return jax.nn.one_hot(idx, 4, dtype=delta.dtype)
 
 
-def _rows_from_selection(sys: con.ConstraintSystem,
-                         sel_pair: jax.Array,       # (P, K) int in [0, 4)
-                         sel_obst: jax.Array,       # (V, O, K) int
-                         dsafe_pair: jax.Array, dsafe_obst: jax.Array,
-                         obst_normals=None, obst_dists=None):
-    """Linear separation rows for an EXPLICIT side assignment.
-
-    Returns (G (C, n), h (C,)) for rows ``G u <= h`` enforcing
-    ``n·(p_i - p_j) >= d`` with the given per-constraint side choice —
-    the convex subproblem of the big-M MIQP once its binaries are fixed
-    (MIQP.py:221-268). Factored out of the heuristic so an enumeration
-    oracle can brute-force all assignments (tests/test_miqp.py).
-
-    ``obst_normals`` (O, 4, 2) / ``obst_dists`` (V, O, 4) switch obstacle
-    rows to rotated rectangle faces (obstAsQCQP=0); default is the four
-    axis-aligned half-planes at the circular safety distance.
+def _slabs_from_selection(sys: con.ConstraintSystem,
+                          sel_pair: jax.Array,       # (P, K) int in [0, 4)
+                          sel_obst: jax.Array,       # (V, O, K) int
+                          dsafe_pair: jax.Array, dsafe_obst: jax.Array,
+                          obst_normals=None, obst_dists=None):
+    """Separation rows for an EXPLICIT side assignment, as PAIR-SPARSE row
+    slabs: ``gi/gj (P, K, U)`` (the two vehicle blocks of each pair row)
+    and ``gob (V, O, K, U)`` (the single block of each obstacle row), plus
+    the rhs ``h = (h_pair (P, K), h_obst (V, O, K))``. The rows enforce
+    ``n·(p_i - p_j) >= d`` for the given per-constraint side choice — the
+    convex subproblem of the big-M MIQP once its binaries are fixed
+    (MIQP.py:221-268). The slab form feeds the structured fused QP
+    directly (qp.solve_qp_batched ``g_slabs``); :func:`_rows_from_selection`
+    scatters them dense for the per-instance / oracle paths.
     """
-    v, k, _, hu = sys.b3.shape
-    n = v * hu
     dtype = sys.b3.dtype
-    eye_v = jnp.eye(v, dtype=dtype)
     sides = jnp.asarray(_SIDES, dtype)
 
     # vehicle pairs: axis-aligned separation (MIQP.py:257-268)
@@ -99,8 +94,6 @@ def _rows_from_selection(sys: con.ConstraintSystem,
     # constraint: n·(p_i - p_j) >= d  =>  -n·(B_i u_i - B_j u_j) <= n·(c_i-c_j) - d
     gi = -jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3i)
     gj = jnp.einsum("pky,pkyu->pku", nvec_p, sys.b3j)
-    g_pair = (jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_i], gi)
-              + jnp.einsum("pv,pku->pkvu", eye_v[sys.pair_j], gj))
     c_diff = sys.const3[sys.pair_i] - sys.const3[sys.pair_j]
     h_pair = jnp.einsum("pky,pky->pk", nvec_p, c_diff) - dsafe_pair[:, None]
 
@@ -114,12 +107,26 @@ def _rows_from_selection(sys: con.ConstraintSystem,
         d_o = obst_dists.astype(dtype)[
             jnp.arange(sel_obst.shape[0])[:, None, None],
             jnp.arange(sel_obst.shape[1])[None, :, None], sel_obst]
-    gv = -jnp.einsum("voky,vkyu->voku", nvec_o, sys.b3)
-    g_obst = jnp.einsum("vw,voku->vokwu", eye_v, gv)
+    gob = -jnp.einsum("voky,vkyu->voku", nvec_o, sys.b3)
     rel_c = sys.const3[:, None] - sys.obst_pos[None]
     h_obst = jnp.einsum("voky,voky->vok", nvec_o, rel_c) - d_o
+    return gi, gj, gob, h_pair, h_obst
 
-    G = jnp.concatenate([g_pair.reshape(-1, n), g_obst.reshape(-1, n)], 0)
+
+def _rows_from_selection(sys: con.ConstraintSystem,
+                         sel_pair: jax.Array,       # (P, K) int in [0, 4)
+                         sel_obst: jax.Array,       # (V, O, K) int
+                         dsafe_pair: jax.Array, dsafe_obst: jax.Array,
+                         obst_normals=None, obst_dists=None):
+    """Dense ``(G (C, n), h (C,))`` rows for an explicit side assignment
+    (thin scatter over :func:`_slabs_from_selection`; the enumeration
+    oracle in tests/test_miqp.py brute-forces all assignments through
+    this)."""
+    v = sys.b3.shape[0]
+    gi, gj, gob, h_pair, h_obst = _slabs_from_selection(
+        sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
+        obst_normals, obst_dists)
+    G = con.scatter_slabs(v, gi, gj, gob, dtype=sys.b3.dtype)
     h = jnp.concatenate([h_pair.reshape(-1), h_obst.reshape(-1)])
     return G, h
 
@@ -318,7 +325,7 @@ def _assemble_qp(sys: con.ConstraintSystem, ref_points, q_weight, q_final,
     G_rate = jnp.concatenate(
         [G_rate, jnp.zeros((2 * n, 1), dtype)], 1)
     h_rate = jnp.concatenate([du_lim + rate_rhs0, du_lim - rate_rhs0])
-    return P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate
+    return P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate, phi
 
 
 def solve_fixed_sides(sys: con.ConstraintSystem, ref_points, q_weight,
@@ -339,7 +346,7 @@ def solve_fixed_sides(sys: con.ConstraintSystem, ref_points, q_weight,
     v, hp, _, hu = sys.b3.shape
     n = v * hu
     dtype = sys.b3.dtype
-    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate = _assemble_qp(
+    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate, _ = _assemble_qp(
         sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
         du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
         dtype=dtype)
@@ -407,7 +414,7 @@ def solve_side_selection(sys: con.ConstraintSystem,
     n = v * hu
     dtype = u_init.dtype
 
-    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate = _assemble_qp(
+    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate, _ = _assemble_qp(
         sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
         du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
         dtype=dtype)
@@ -440,8 +447,13 @@ def solve_side_selection(sys: con.ConstraintSystem,
 
     def rank(obj, slack):
         """Hard-feasible solutions rank by objective, soft ones after by
-        slack — the candidate/round comparison rule (B&B incumbent order)."""
-        hard = slack < jnp.asarray(1e-6, dtype)
+        slack — the candidate/round comparison rule (B&B incumbent order).
+        "Hard" means the selected rows hold within the QCQP constraint
+        tolerance: an IPM solve leaves ~mu of slack dust above the exact 0
+        (in f32 fixed-iteration mode ~1e-4), so a literal slack == 0 test
+        would rank every candidate by dust instead of objective —
+        measured as a 9x objective regression on the canonical frog."""
+        hard = slack < jnp.asarray(constraint_tolerance, dtype)
         return jnp.where(hard, obj, big * 0.5 + slack)
 
     def one_round(carry, _):
@@ -524,5 +536,238 @@ def solve_side_selection(sys: con.ConstraintSystem,
     return SideSelectionResult(u=u, obj=obj, slack=slack,
                                feasible=ev.feasible, converged=conv,
                                rounds=jnp.asarray(n_rounds),
+                               sides_stable=sides_stable,
+                               qp_iters=qp_its)
+
+
+def solve_side_selection_stacked(
+        sys: con.ConstraintSystem,        # batched: leading axis B on leaves
+        ref_points: jax.Array,            # (B, V, Hp, 2)
+        q_weight, q_final, r_weight,      # (B, V) each
+        u0: jax.Array,                    # (B, V)
+        u_max: jax.Array,                 # (B, V)
+        u_init: jax.Array,                # (B, V*Hu)
+        *,
+        du_lim: float,
+        slack_weight: float = 1e5,
+        slack_ub: float = 1e8,
+        constraint_tolerance: float = 2 * 2.1e-3,
+        n_rounds: int = 2,
+        multi_candidate: bool = True,
+        obst_normals=None, obst_dists=None,   # (B, ...) batched when given
+        dsafe_pair=None, dsafe_obst=None,     # (B, P) / (B, V, O)
+        qp_max_iter: int = 30,
+        qp_tol: float = 1e-8,
+        qp_fixed_iters: int | None = None,
+        qp_candidate_iters: int | None = None,
+        qp_correctors: int = 0,
+        qp_use_pallas: bool | None = None) -> SideSelectionResult:
+    """Natively-batched :func:`solve_side_selection` (leading batch axis B).
+
+    Same candidate/reselection/incumbent logic, but every QP goes through
+    :func:`qp.solve_qp_batched` — the fused TPU IPM with in-kernel K
+    formation — instead of per-instance ``solve_qp`` under vmap. The five
+    first-round candidate assignments batch along the instance axis (one
+    5B-wide solve), which is exactly the subset of integer leaves a
+    branch-and-bound probes first, solved as one kernel launch sequence.
+
+    Structure statement: the separation rows have the SCP pair/obstacle
+    slab layout (each row touches one or two hu-wide vehicle blocks +
+    the slack column), and the steering-rate rows ``|u_k - u_{k-1}| <=
+    du_lim`` (hard, slack coefficient 0) are per-vehicle single-block
+    slabs of the same height when hp == hu — so they ride the fused
+    kernel's ``g_struct`` path as 2V extra "obstacle" slabs whose
+    bidiagonal D blocks are also block-lower-triangular in (k, u).
+
+    ``qp_fixed_iters``/``qp_correctors``: the f32 TPU calibration knobs
+    (see config.TUNED_F32_OVERRIDES); None runs the adaptive while-loop
+    solver (the CPU/f64 parity configuration, matching the per-instance
+    path's solves exactly).
+    """
+    b, v, hp, _, hu = sys.b3.shape
+    n = v * hu
+    dtype = u_init.dtype
+    n_obst = sys.obst_pos.shape[1]
+
+    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate, phi = jax.vmap(
+        lambda s, rp, qw, qf, rw, u0v, um: _assemble_qp(
+            s, rp, qw, qf, rw, u0v, um, du_lim=du_lim,
+            slack_weight=slack_weight, slack_ub=slack_ub, dtype=dtype)
+    )(sys, ref_points, q_weight, q_final, r_weight, u0, u_max)
+    if dsafe_pair is None:
+        dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
+    if dsafe_obst is None:
+        dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
+    # selection scores + feasibility evaluation run at the SAME distances
+    # the rows enforce
+    sys_sel = sys._replace(dsafe2_pair=dsafe_pair ** 2,
+                           dsafe2_obst=dsafe_obst ** 2)
+
+    # Static row-structure statement for the fused QP: pair slabs, then
+    # vehicle-major obstacle slabs, then the rate rows as 2V single-block
+    # slabs (+D blocks, then -D blocks). All slabs are hp rows tall, which
+    # the rate rows satisfy only when hp == hu.
+    g_struct = None
+    if hp == hu:
+        g_struct = (tuple(con._static_pairs(v)),
+                    tuple([vv for vv in range(v) for _ in range(n_obst)]
+                          + list(range(v)) * 2),
+                    hp, hu, True)
+
+    def _vsel(u_ref, **kw):
+        """vmapped heuristic selection (u_max-aware variants)."""
+        if obst_normals is None:
+            return jax.vmap(lambda s, u, m: _select_from_trajectory(
+                s, u, None, None, u_max=m, **kw))(sys_sel, u_ref, u_max)
+        return jax.vmap(lambda s, u, on, od, m: _select_from_trajectory(
+            s, u, on, od, u_max=m, **kw))(
+                sys_sel, u_ref, obst_normals, obst_dists, u_max)
+
+    def _vsel_nomax(u_ref, **kw):
+        """vmapped selection for the committed-lateral candidates."""
+        if obst_normals is None:
+            return jax.vmap(lambda s, u: _select_from_trajectory(
+                s, u, None, None, **kw))(sys_sel, u_ref)
+        return jax.vmap(lambda s, u, on, od: _select_from_trajectory(
+            s, u, on, od, **kw))(sys_sel, u_ref, obst_normals, obst_dists)
+
+    def build_sep_rows(sel_pair, sel_obst):
+        """(B, C, n) separation rows + (B, C) rhs (no slack col/rate)."""
+        if obst_normals is None:
+            return jax.vmap(lambda s, sp, so, dp, do: _rows_from_selection(
+                s, sp, so, dp, do))(
+                    sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst)
+        return jax.vmap(_rows_from_selection)(
+            sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
+            obst_normals, obst_dists)
+
+    def build_rows(sel_pair, sel_obst):
+        G_sep, h_sep = build_sep_rows(sel_pair, sel_obst)
+        G = jnp.concatenate([
+            jnp.concatenate([G_sep, slack_col], axis=2), G_rate], axis=1)
+        h = jnp.concatenate([h_sep, h_rate], axis=1)
+        return G, h
+
+    def solve_batch(G, h, u_ref, q_, lb_, ub_, phi_,
+                    fixed_iters=None):
+        fixed_iters = fixed_iters or qp_fixed_iters
+        x0 = jnp.concatenate(
+            [u_ref, jnp.zeros((u_ref.shape[0], 1), dtype)], axis=1)
+        # P stated by p_blocks (+ zero slack tail): the dense tiled
+        # (n_cand*B, n+1, n+1) P never materializes on the fused path
+        sol = qp.solve_qp_batched(
+            None, q_, G, h, lb_, ub_,
+            max_iter=qp_max_iter, tol=qp_tol, x0=x0,
+            fixed_iters=fixed_iters, correctors=qp_correctors,
+            p_blocks=2.0 * phi_, slack_schur=True,
+            # fixed-iteration (calibrated f32) solves use the cheap
+            # rp-recurrence certificate like the SCP hot path — the honest
+            # recomputation costs two full G passes per solve and only
+            # feeds the `converged` diagnostic
+            certificate=fixed_iters is None,
+            g_struct=g_struct, use_pallas=qp_use_pallas)
+        ok = jnp.all(jnp.isfinite(sol.x), axis=1)
+        u_new = jnp.where(ok[:, None], sol.x[:, :n], u_ref)
+        return u_new, sol.obj, sol.x[:, n], sol.converged & ok, sol.iters
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def rank(obj, slack):
+        # hard = within the QCQP tolerance (see solve_side_selection.rank)
+        hard = slack < jnp.asarray(constraint_tolerance, dtype)
+        return jnp.where(hard, obj, big * 0.5 + slack)
+
+    def one_round(carry, _):
+        u_ref, it_acc = carry
+        sel_pair_r, sel_obst_r = _vsel(u_ref, lat_commit=True)
+        G, h = build_rows(sel_pair_r, sel_obst_r)
+        u_new, obj, slack, conv, iters = solve_batch(
+            G, h, u_ref, q_qp, lb, ub, phi)
+        return ((u_new, it_acc + iters),
+                (u_new, obj, slack, conv, sel_pair_r, sel_obst_r))
+
+    use_candidates = multi_candidate and n_obst > 0
+    if use_candidates:
+        sel_pair0, sel_a = _vsel(u_init, lat_commit=True)
+        _, sel_b = _vsel(u_init, lat_commit="flip")
+        _, sel_lon = _vsel(u_init, obst_sides=(0, 1))
+        _, sel_lat_c = _vsel_nomax(u_init, consistent_lateral=True)
+        _, sel_lat_f = _vsel_nomax(u_init, consistent_lateral="flip")
+        cand_obst = jnp.stack([sel_a, sel_b, sel_lon, sel_lat_c,
+                               sel_lat_f])               # (5, B, V, O, K)
+        G5, h5 = jax.vmap(
+            lambda so: build_rows(sel_pair0, so))(cand_obst)
+        n_cand = cand_obst.shape[0]
+
+        def tile(x):
+            return jnp.broadcast_to(
+                x[None], (n_cand,) + x.shape).reshape(
+                    (n_cand * b,) + x.shape[1:])
+
+        # Candidate solves only need RANKING fidelity — the winner is
+        # refined at full accuracy by the reselection round(s), and a
+        # not-yet-converged objective is an overestimate (conservative for
+        # the incumbent comparison) — so a calibrated lower iteration
+        # count here cuts the 5-candidate phase's cost.
+        u5, obj5, sl5, cv5, it5 = solve_batch(
+            G5.reshape((n_cand * b,) + G5.shape[2:]),
+            h5.reshape(n_cand * b, -1), tile(u_init),
+            tile(q_qp), tile(lb), tile(ub), tile(phi),
+            fixed_iters=qp_candidate_iters)
+        bi = jnp.arange(b)
+        pick = jnp.argmin(rank(obj5, sl5).reshape(n_cand, b), axis=0)
+        u0_ = u5.reshape(n_cand, b, n)[pick, bi]
+        obj0 = obj5.reshape(n_cand, b)[pick, bi]
+        slack0 = sl5.reshape(n_cand, b)[pick, bi]
+        conv0 = cv5.reshape(n_cand, b)[pick, bi]
+        qp_its0 = jnp.sum(it5.reshape(n_cand, b), axis=0)
+        sel0 = (sel_pair0, cand_obst[pick, bi])
+        scan_rounds = n_rounds - 1
+    else:
+        u0_ = u_init
+        obj0 = jnp.full((b,), big, dtype)
+        slack0 = jnp.full((b,), big, dtype)
+        conv0 = jnp.zeros((b,), bool)
+        qp_its0 = jnp.zeros((b,), jnp.int32)
+        sel0 = _vsel(u_init, lat_commit=True)
+        scan_rounds = n_rounds
+
+    if scan_rounds > 0:
+        (_, qp_its), ys = jax.lax.scan(one_round, (u0_, qp_its0), None,
+                                       length=scan_rounds)
+        # best incumbent across the initial pick and every reselection
+        # round, per instance (B&B keeps its incumbent)
+        all_u = jnp.concatenate([u0_[None], ys[0]])        # (R+1, B, n)
+        all_obj = jnp.concatenate([obj0[None], ys[1]])
+        all_slack = jnp.concatenate([slack0[None], ys[2]])
+        all_conv = jnp.concatenate([conv0[None], ys[3]])
+        all_selp = jnp.concatenate([sel0[0][None], ys[4]])
+        all_selo = jnp.concatenate([sel0[1][None], ys[5]])
+        bi = jnp.arange(b)
+        best = jnp.argmin(rank(all_obj, all_slack), axis=0)  # (B,)
+        u = all_u[best, bi]
+        obj = all_obj[best, bi]
+        slack = all_slack[best, bi]
+        conv = all_conv[best, bi]
+        sel_last = (all_selp[best, bi], all_selo[best, bi])
+    else:
+        u, obj, slack, conv, qp_its = u0_, obj0, slack0, conv0, qp_its0
+        sel_last = sel0
+
+    # fixed-point check (see solve_side_selection): identical induced
+    # selection, or the incumbent already satisfies every induced row
+    sel_pair_f, sel_obst_f = _vsel(u, lat_commit=True)
+    identical = (jnp.all(sel_last[0] == sel_pair_f, axis=(1, 2))
+                 & jnp.all(sel_last[1] == sel_obst_f, axis=(1, 2, 3)))
+    G_f, h_f = build_sep_rows(sel_pair_f, sel_obst_f)
+    induced = jnp.einsum("bcn,bn->bc", G_f, u) - h_f
+    induced_ok = jnp.max(induced, axis=1, initial=-jnp.inf) \
+        <= constraint_tolerance
+    sides_stable = identical | induced_ok
+    ev = jax.vmap(lambda s, uu: con.evaluate(
+        s, uu, constraint_tolerance, compat_q5=False))(sys_sel, u)
+    return SideSelectionResult(u=u, obj=obj, slack=slack,
+                               feasible=ev.feasible, converged=conv,
+                               rounds=jnp.full((b,), n_rounds),
                                sides_stable=sides_stable,
                                qp_iters=qp_its)

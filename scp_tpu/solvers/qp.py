@@ -441,8 +441,24 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
     """
+    if P is None:
+        # P may be omitted when ``p_blocks`` fully states it (blockdiag +
+        # ZERO tail diagonal — the SCP/side-selection shape, where the only
+        # tail variable is the penalty slack with zero P row): the hot TPU
+        # paths then never materialize the dense (B, n, n) P at all. The
+        # dense fallbacks reconstruct it below.
+        assert p_blocks is not None, "P=None requires p_blocks"
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if P is None and (not use_pallas or fixed_iters is None):
+        # dense fallback / adaptive-path reconstruction (those paths read
+        # the dense P_s in their KKT formation)
+        nb_, d_ = p_blocks.shape[1], p_blocks.shape[2]
+        n_ = q.shape[1]
+        P = jnp.zeros((q.shape[0], n_, n_), p_blocks.dtype)
+        for vb_ in range(nb_):
+            P = P.at[:, vb_ * d_:(vb_ + 1) * d_,
+                     vb_ * d_:(vb_ + 1) * d_].set(p_blocks[:, vb_])
     if not use_pallas:
         if z0 is None:
             return jax.vmap(
@@ -462,7 +478,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
 
     from scp_tpu.ops import pallas_linalg as pll
 
-    dtype = P.dtype
+    dtype = q.dtype
     B0, mg, n = G.shape
     m = mg + 2 * n
     n_pad = pll.pad_dim(n)
@@ -471,8 +487,9 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     b_pad = -(-B0 // pll.TB) * pll.TB
     if b_pad != B0:
         e = b_pad - B0
-        P = jnp.concatenate(
-            [P, jnp.broadcast_to(jnp.eye(n, dtype=dtype), (e, n, n))])
+        if P is not None:
+            P = jnp.concatenate(
+                [P, jnp.broadcast_to(jnp.eye(n, dtype=dtype), (e, n, n))])
         q = jnp.concatenate([q, jnp.zeros((e, n), dtype)])
         G = jnp.concatenate([G, jnp.zeros((e, mg, n), dtype)])
         h = jnp.concatenate([h, jnp.ones((e, mg), dtype)])
@@ -508,7 +525,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # factor growth then outweighs the structured formation savings.
     n_ghost_vars = 0
     nu_real = n - 1
-    if (g_struct is not None and fixed_iters is not None and slack_schur
+    if (g_struct is not None and bool(g_struct[0])
+            and fixed_iters is not None and slack_schur
             and p_blocks is not None and (n - 1) % 8 != 0):
         hu_g = int(g_struct[3])
         v_g = (n - 1) // hu_g
@@ -542,10 +560,13 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                  jnp.zeros((B, mg, ng), dtype),
                  G[:, :, nu_real:]], axis=2)
             n2 = n + ng
-            P = jnp.zeros((B, n2, n2), dtype) \
-                .at[:, :nu_real, :nu_real].set(P[:, :nu_real, :nu_real]) \
-                .at[:, nu_real:nu_real + ng, nu_real:nu_real + ng].set(
-                    jnp.eye(ng, dtype=dtype))
+            if P is not None:
+                P = jnp.zeros((B, n2, n2), dtype) \
+                    .at[:, :nu_real, :nu_real].set(
+                        P[:, :nu_real, :nu_real]) \
+                    .at[:, nu_real:nu_real + ng,
+                        nu_real:nu_real + ng].set(
+                        jnp.eye(ng, dtype=dtype))
             # (the slack row/col of P are zero in this path by contract)
             p_blocks = jnp.concatenate(
                 [p_blocks,
@@ -568,7 +589,11 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # before, see CLAUDE.md linalg notes), symptoms will be kernel-compile
     # errors or garbage K blocks at hu % 8 != 0 — fall back by forcing
     # use_struct False for unaligned hu here.
-    use_struct = (g_struct is not None and fixed_iters is not None
+    # (struct needs at least one pair slab: the kernel builder stacks the
+    # pair slab list, and jnp.stack([]) is an error — single-vehicle
+    # problems run the dense fused path, which is faster at those sizes)
+    use_struct = (g_struct is not None and bool(g_struct[0])
+                  and fixed_iters is not None
                   and slack_schur and (n - 1) % 8 == 0
                   and p_blocks is not None)
     use_slabs = use_struct and g_slabs is not None
@@ -598,7 +623,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         # comes from the compact statement, so the dense P is never read on
         # the block path (P_s below is dead code XLA eliminates).
         nbd0 = p_blocks.shape[1] * p_blocks.shape[2]
-        tail_diag = jnp.diagonal(P, axis1=1, axis2=2)[:, nbd0:]  # (B, n-nbd)
+        tail_diag = (jnp.zeros((B, n - nbd0), dtype) if P is None
+                     else jnp.diagonal(P, axis1=1, axis2=2)[:, nbd0:])
         absmax = jnp.maximum(
             jnp.max(jnp.abs(p_blocks), axis=(1, 2, 3)),
             jnp.max(jnp.abs(tail_diag), axis=1, initial=0.0))
@@ -606,7 +632,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     else:
         cost_scale = 1.0 / jnp.maximum(
             jnp.max(jnp.abs(P), axis=(1, 2)), 1.0)            # (B,)
-    P_s = P * cost_scale[:, None, None]
+    P_s = None if P is None else P * cost_scale[:, None, None]
+    if P is None:
+        # scaled P diagonal from the block statement (no dense P exists)
+        p_diag_s = jnp.concatenate(
+            [jnp.diagonal(p_blocks, axis1=2, axis2=3).reshape(B, nbd0),
+             tail_diag], axis=1) * cost_scale[:, None]
+    else:
+        p_diag_s = jnp.diagonal(P_s, axis1=1, axis2=2)
 
     # everything below lives as (dim, B) — batch on lanes
     def t(a):                                                 # (B, d) -> (d, B)
@@ -690,7 +723,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         pb_lane = jnp.transpose(
             p_blocks * cost_scale[:, None, None, None],
             (1, 2, 3, 0))                                     # (nb, d, d, B)
-        ptail = t(jnp.diagonal(P_s, axis1=1, axis2=2)[:, nbd:])
+        ptail = t(p_diag_s[:, nbd:])
 
         def pmv(x):
             xb = x[:nbd].reshape(nb, d, B)
@@ -845,7 +878,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         # kernel): the factorization runs on n-1 (a sublane multiple)
         # columns instead of n_pad.
         use_schur = slack_schur and (n - 1) % 8 == 0
-        pdiag = lane_pad(t(jnp.diagonal(P_s, axis1=1, axis2=2)), n_pad, one)
+        pdiag = lane_pad(t(p_diag_s), n_pad, one)
         if use_struct:
             # Per-pair row slabs (once per solve, loop-invariant): the
             # fused kernel forms K from these in VMEM — no dense dot, no
@@ -1000,9 +1033,21 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             & (rd_f / (1.0 + jnp.linalg.norm(q_s, axis=0)) < tol * 100)
 
     xb = t(x)[:B0]                                            # (B0, n)
-    P0, q0 = P[:B0], q[:B0]
-    obj = 0.5 * jnp.einsum("bi,bij,bj->b", xb, P0, xb) \
-        + jnp.sum(q0 * xb, axis=1)
+    q0 = q[:B0]
+    if P is not None:
+        obj = 0.5 * jnp.einsum("bi,bij,bj->b", xb, P[:B0], xb) \
+            + jnp.sum(q0 * xb, axis=1)
+    elif p_blocks is not None:
+        # objective from the block statement — the dense P (whose scatter
+        # the caller builds only as a fallback operand) is never read for
+        # full rows, so XLA dead-code-eliminates it on this path. Ghost
+        # alignment variables solve to ~0 and their identity blocks
+        # contribute O(ipm_tol^2).
+        nbq = p_blocks.shape[1] * p_blocks.shape[2]
+        xq = xb[:, :nbq].reshape(B0, p_blocks.shape[1], p_blocks.shape[2])
+        quad = jnp.einsum("bvi,bvij,bvj->b", xq, p_blocks[:B0], xq) \
+            + jnp.sum(tail_diag[:B0] * xb[:, nbq:n] ** 2, axis=1)
+        obj = 0.5 * quad + jnp.sum(q0 * xb, axis=1)
     zb = t(z)[:B0]
     z_unscaled = jnp.concatenate(
         [d_row[:B0] * zb[:, :mg], zb[:, mg:]], axis=1) \

@@ -12,6 +12,8 @@ mode (obstAsQCQP=0, MIQP.py:233-253).
 import itertools
 import sys
 
+import pytest
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -374,3 +376,105 @@ def test_closed_loop_side_selection_rectangle_full_50():
     assert margin.min() > 0.0, f"rectangle overlap, margin {margin.min():.3f}"
     # traverses the whole obstacle field
     assert float(carry.state[0, 0]) > float(data.x0[0, 0]) + 60.0
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("frog", {}),                                  # candidates + obstacles
+    ("circle", {"n_veh": 3}),                      # pairs, no obstacles
+    ("parallel", {"n_veh": 4}),                    # pairs + obstacles
+])
+def test_stacked_side_selection_matches_vmapped(kind, kw):
+    """mpc_step_batch's side-selection path (solve_side_selection_stacked,
+    batched QPs) == vmap(mpc_step) (per-instance solve_qp): same candidate
+    logic, same QPs, adaptive solver on CPU f64."""
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch(kind, 4, key=jax.random.PRNGKey(11),
+                                     dtype=jnp.float64, **kw)
+    cfg = cfg.replace(hp=5, hu=5, qp_max_iter=25,
+                      controller="side_selection")
+    keys = jax.random.split(jax.random.PRNGKey(21), 4)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    c_ref, out_ref = jax.jit(jax.vmap(
+        lambda d, c: engine.mpc_step(cfg, d, c)))(data, carry)
+    c_new, out_new = jax.jit(
+        lambda d, c: engine.mpc_step_batch(cfg, d, c))(data, carry)
+    np.testing.assert_allclose(np.asarray(out_new.u_pred),
+                               np.asarray(out_ref.u_pred),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(out_new.feasible),
+                                  np.asarray(out_ref.feasible))
+    np.testing.assert_array_equal(np.asarray(out_new.sides_stable),
+                                  np.asarray(out_ref.sides_stable))
+    np.testing.assert_array_equal(np.asarray(out_new.qp_iters),
+                                  np.asarray(out_ref.qp_iters))
+    np.testing.assert_allclose(np.asarray(c_new.state),
+                               np.asarray(c_ref.state), rtol=1e-12)
+
+
+def test_stacked_side_selection_rect_obstacles():
+    """Rotated-rectangle mode (obstAsQCQP=0) through the batched path."""
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch("frog", 3, key=jax.random.PRNGKey(5),
+                                     dtype=jnp.float64)
+    cfg = cfg.replace(hp=5, hu=5, qp_max_iter=25,
+                      controller="side_selection", obst_as_qcqp=False)
+    keys = jax.random.split(jax.random.PRNGKey(6), 3)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    c_ref, out_ref = jax.jit(jax.vmap(
+        lambda d, c: engine.mpc_step(cfg, d, c)))(data, carry)
+    c_new, out_new = jax.jit(
+        lambda d, c: engine.mpc_step_batch(cfg, d, c))(data, carry)
+    np.testing.assert_allclose(np.asarray(out_new.u_pred),
+                               np.asarray(out_ref.u_pred),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(out_new.feasible),
+                                  np.asarray(out_ref.feasible))
+
+
+def test_stacked_side_selection_struct_fused_interpret():
+    """The fused struct QP path on the SIDE-SELECTION shape — pair +
+    obstacle slabs PLUS the hard rate rows as 2V single-block bidiagonal
+    slabs with ZERO slack coefficient — must match the vmapped adaptive
+    solver (interpret mode; parallel 3-veh, hu=8 so (n-1) % 8 == 0 and
+    the struct path engages without ghost padding)."""
+    from scp_tpu.ops import pallas_linalg as pll
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+    from scp_tpu.solvers import miqp
+
+    cfg, data = batch_lib.make_batch("parallel", 4, key=jax.random.PRNGKey(2),
+                                     dtype=jnp.float32, n_veh=3)
+    cfg = cfg.replace(hp=8, hu=8, controller="side_selection")
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    _, aux = jax.jit(jax.vmap(
+        lambda d, c: engine.controller_pre(cfg, d, c)))(data, carry)
+    sys_, u_max, ref_pts, x0, obst_pos, _ = aux
+    args = (sys_, ref_pts, data.params.q, data.params.q_final,
+            data.params.r, carry.u_prev1, u_max, carry.u_warm)
+    kw = dict(du_lim=cfg.u_lim,
+              dsafe_pair=jax.vmap(
+                  lambda d, s: d.dsafe_veh[s.pair_i, s.pair_j])(data, sys_),
+              dsafe_obst=data.dsafe_obst,
+              qp_fixed_iters=12, qp_tol=1e-6)
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_fused = jax.jit(lambda *a: miqp.solve_side_selection_stacked(
+            *a, qp_use_pallas=True, **kw))(*args)
+    finally:
+        pll.INTERPRET = old
+    r_ref = jax.jit(lambda *a: miqp.solve_side_selection_stacked(
+        *a, qp_use_pallas=False, **kw))(*args)
+    np.testing.assert_allclose(np.asarray(r_fused.u), np.asarray(r_ref.u),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(r_fused.feasible),
+                                  np.asarray(r_ref.feasible))
+    # the hard rate rows must hold exactly in the fused solution too
+    u = np.asarray(r_fused.u).reshape(4, 3, 8)
+    du = np.diff(u, axis=2, prepend=np.asarray(carry.u_prev1)[:, :, None])
+    assert np.abs(du).max() <= cfg.u_lim + 1e-4
