@@ -179,10 +179,15 @@ def cmd_sweep(args):
     from scp_tpu import config as config_lib
 
     overrides = {}
+    if getattr(args, "controller", "scp") != "scp":
+        overrides["controller"] = args.controller
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if dtype == jnp.float32:
-        for k, v in config_lib.TUNED_F32_OVERRIDES.items():
+        tuned = dict(config_lib.TUNED_F32_OVERRIDES)
+        if overrides.get("controller") == "side_selection":
+            tuned.update(config_lib.TUNED_F32_SIDE_SELECTION)
+        for k, v in tuned.items():
             overrides.setdefault(k, v)
     if overrides:
         cfg = cfg.replace(**overrides)
@@ -257,6 +262,8 @@ def main(argv=None):
     ps.add_argument("--n-veh", type=int, default=0)
     ps.add_argument("--steps", type=int, default=0)
     ps.add_argument("--hp", type=int, default=0)
+    ps.add_argument("--controller", choices=["scp", "side_selection"],
+                    default="scp")
     ps.add_argument("--n-model", type=int, default=1,
                     help="mesh model-axis size (1 = pure data parallel)")
     ps.add_argument("--batched", action="store_true",

@@ -29,7 +29,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from scp_tpu.config import NY
 from scp_tpu.ops import constraints as con
 from scp_tpu.solvers import qp
 

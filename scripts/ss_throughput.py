@@ -33,7 +33,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 CASES = (("frog", 16, 10, None), ("parallel", 8, 16, 11))
 

@@ -179,6 +179,34 @@ def test_reference_json_schema_complete(tmp_path):
     # scanned runs have no per-step host time: documented zero fill
     assert payload["stepTime"] == [0.0, 0.0]
 
+    # draw_video.py consumption contract (draw_video.py:44-57): every key
+    # must reshape order='F' to the consumer's expected dimensions — for
+    # nested-list JSON that holds exactly when the exported nesting ALREADY
+    # has those dimensions (reshape to own shape is the identity).
+    n_sim, n_veh, nx, ny, hp = 2, cfg.n_veh, 6, 2, cfg.hp
+    ticks = n_sim * cfg.ticks_per_sim
+    want_shapes = {
+        "vehiclePathFullRes": (nx, n_veh, ticks + 1),
+        "controlPathFullRes": (n_veh, ticks + 1),
+        "controlPredictions": (hp, n_veh, n_sim),
+        "trajectoryPredictions": (hp, ny, n_veh, n_sim),
+        "initial_pos": (2, n_veh, n_sim),
+        "MPC_delay_compensation_trajectory": (10, nx, n_veh, n_sim),
+        "ReferenceTrajectory": (hp, 2, n_veh, n_sim),
+    }
+    for k, shape in want_shapes.items():
+        got = np.asarray(payload[k])
+        assert got.shape == shape, (k, got.shape, shape)
+        np.testing.assert_array_equal(
+            np.reshape(payload[k], shape, order="F"), got)
+    # the consumer's x0-prepended prediction stack (draw_video.py:58-60)
+    ipos4 = np.reshape(payload["initial_pos"], (1, 2, n_veh, n_sim),
+                       order="F")
+    traj4 = np.asarray(payload["trajectoryPredictions"])
+    with_x0 = np.vstack([ipos4[:, :, :, 0], traj4[:, :, :, 0]])
+    assert with_x0.shape == (hp + 1, ny, n_veh)
+    np.testing.assert_allclose(with_x0[0], ipos4[0, :, :, 0])
+
     # a TIMED run exports real nonzero runtimes (main.py:222-223): the
     # host-driven driver measures the controller window and the whole step
     carry_t, out_t, st, ct = engine.simulate_timed(

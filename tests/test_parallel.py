@@ -213,3 +213,32 @@ def test_distributed_sweep_batched_matches_plain():
     with pytest.raises(ValueError, match="incompatible"):
         distributed.sweep(cfg, data, distributed.global_mesh(n_model=2),
                           n_steps=1, phases=((2, 1),))
+
+
+def test_distributed_sweep_side_selection():
+    """The second controller scales out the same way (data-parallel sweep
+    over the 8-device mesh): psum-reduced totals equal the unsharded
+    batched engine's."""
+    import functools
+
+    from scp_tpu.parallel import distributed
+    from scp_tpu.sim import engine
+
+    cfg, data = batch_lib.make_batch("frog", 16, key=jax.random.PRNGKey(9),
+                                     dtype=jnp.float64)
+    cfg = cfg.replace(hp=4, hu=4, qp_max_iter=20,
+                      controller="side_selection")
+    m = distributed.global_mesh()
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    carries, (objs, feas, iters) = distributed.sweep(
+        cfg, data, m, n_steps=2, keys=keys)
+    # unsharded reference: same keys, same per-instance stepping
+    _, out = jax.jit(functools.partial(
+        engine.simulate_batch, cfg, n_steps=2))(data, keys)
+    np.testing.assert_allclose(
+        np.asarray(objs),
+        np.asarray(out.obj).sum(axis=1), rtol=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(feas),
+        np.asarray(out.feasible).astype(np.float64).sum(axis=1))
+    assert np.asarray(feas).min() >= 0
