@@ -18,10 +18,13 @@ from scp_tpu.scenarios import builders  # noqa: E402
 from scp_tpu.sim import engine  # noqa: E402
 
 
-def run_reference_sim(n_veh=3, n_steps=5, tmpdir="/tmp/scp_ref_data"):
+def run_reference_sim(n_veh=3, n_steps=5, tmpdir="/tmp/scp_ref_data",
+                      delay_x=None):
     cvxpy_shim.install()
     ref, sc = make_scenario("circle", n_veh)
     sc.T_end = n_steps * sc.dt
+    if delay_x is not None:
+        sc.delay_x = delay_x
     sc.complete_scenario()
     sc.uLim = sc.mechanicalSteeringLimit
 
@@ -81,3 +84,34 @@ def test_closed_loop_circle_8veh_short():
         ref_state = sim.vehiclePathFullRes[:, :, (i + 1) * tps].T
         np.testing.assert_allclose(np.asarray(out.states[i, -1]), ref_state,
                                    rtol=1e-4, atol=5e-5, err_msg=f"step {i}")
+
+
+def test_closed_loop_delay_x_spanning_steps():
+    """Multi-step measurement delay (delay_x = 0.5 s = 50 ticks > one
+    40-tick MPC step) against the reference's tick bookkeeping
+    (main.py:101-103 reads the full-resolution path array; our carry holds
+    a tick-resolution ring buffer). Pins the r4 delay_x cap lift against
+    the actual reference, not just our own semantics."""
+    n_veh, n_steps = 3, 5
+    sc, sim = run_reference_sim(n_veh, n_steps, delay_x=0.5)
+    assert sc.ticks_delay_x == 50 > sc.ticks_per_sim
+
+    cfg, data = builders.circle(n_veh)
+    cfg = cfg.replace(rk4_substeps=2, delay_x=0.5)
+    carry, out = engine.simulate(cfg, data, n_steps=n_steps)
+
+    ref_u = sim.controlPredictions[0, :, :n_steps].T          # (n_steps, V)
+    np.testing.assert_allclose(np.asarray(out.u_applied), ref_u,
+                               rtol=1e-5, atol=1e-7)
+    # delay-compensation rollouts start from the same MEASURED (lagged)
+    # states the reference used
+    np.testing.assert_allclose(
+        np.asarray(out.delay_traj),
+        np.transpose(sim.MPC_delay_compensation_trajectory, (3, 0, 1, 2))
+        [:n_steps],
+        rtol=1e-5, atol=1e-6)
+    tps = sc.ticks_per_sim
+    for i in range(n_steps):
+        ref_state = sim.vehiclePathFullRes[:, :, (i + 1) * tps].T  # (V, 6)
+        np.testing.assert_allclose(np.asarray(out.states[i, -1]), ref_state,
+                                   rtol=1e-5, atol=2e-5, err_msg=f"step {i}")
