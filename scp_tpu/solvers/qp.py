@@ -383,6 +383,43 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
                       z=z_unscaled)
 
 
+# Scoped-VMEM budget for the fused fixed-iteration kernels, calibrated to
+# the measured compile boundaries (BENCHMARKS.md "VMEM ceiling"): estimates
+# of 104.6M (16-veh circle hp=10) and 106.5M (parallel-11 hp=16 at a single
+# tile) compile and run; 129.6M (parallel-11 hp=16, B>128) and 153.7M
+# (4-veh circle hp=64) fail. The gate must sit between them.
+_FUSED_VMEM_BUDGET = 115e6
+
+
+def _fused_vmem_bytes(b: int, mg: int, n: int,
+                      g_struct: tuple | None) -> float:
+    """Approximate per-tile VMEM footprint of the fused IPM kernel.
+
+    Components: pipelined input blocks (double-buffered when the batch
+    spans more than one 128-lane tile; Mosaic skips the second buffer for
+    a single grid tile), the w-scaled slab copies the struct K formation
+    keeps live, the factor scratch (x2 for the revisited output blocks),
+    and ~24 (section, TB) state/scratch vectors. Calibrated against the
+    measured compile boundaries, not derived from Mosaic's allocator;
+    treat as a classifier with ~10% margin, not an accountant.
+    """
+    from scp_tpu.ops import pallas_linalg as pll
+
+    tb = pll.TB
+    buf = 2.0 if b > tb else 1.0
+    mg_pad = pll._pad_to(mg, pll._MV_MB)
+    n_pad = pll.pad_dim(n)
+    vec = (mg_pad + 2 * n_pad) * tb * 4 * 24
+    if g_struct is not None and g_struct[0]:
+        pairs, obst, hp_s, hu_s, *_ = g_struct
+        hu8 = pll._pad_to(int(hu_s), 8)
+        slabs = (2 * len(pairs) + len(obst)) * int(hp_s) * hu8 * tb * 4
+        ks = n - 1
+        return buf * slabs + slabs + 2 * ks * ks * tb * 4 + vec
+    g_b = mg_pad * n_pad * tb * 4
+    return buf * g_b + 2 * n_pad * n_pad * tb * 4 + vec
+
+
 def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      tol: float = 1e-8, x0=None, z0=None,
                      fixed_iters: int | None = None,
@@ -441,6 +478,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
     """
+    if use_pallas is not False and fixed_iters is not None:
+        # VMEM-aware gate: the fused kernels hold their tile's working set
+        # resident; shapes beyond the scoped-VMEM budget fail to COMPILE
+        # (measured boundaries in BENCHMARKS.md "VMEM ceiling"). Estimate
+        # the footprint and fall back to the XLA path instead of crashing.
+        if _fused_vmem_bytes(G.shape[0], G.shape[1], G.shape[2],
+                             g_struct) > _FUSED_VMEM_BUDGET:
+            use_pallas = False
     if P is None:
         # P may be omitted when ``p_blocks`` fully states it (blockdiag +
         # ZERO tail diagonal — the SCP/side-selection shape, where the only

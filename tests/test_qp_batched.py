@@ -339,3 +339,32 @@ def test_fused_struct_v16_matches_fallback_interpret():
                                np.asarray(r_ref.x), atol=5e-4)
     np.testing.assert_allclose(np.asarray(r_struct.obj),
                                np.asarray(r_ref.obj), rtol=2e-3, atol=1e-3)
+
+
+def test_fused_vmem_gate_classifier():
+    """The VMEM gate must reproduce the MEASURED compile boundaries
+    (BENCHMARKS.md "VMEM ceiling"): every shape that compiled on the real
+    chip fits the budget, every shape that OOM'd does not."""
+    from scp_tpu.ops import constraints as con
+    from scp_tpu.solvers.qp import _FUSED_VMEM_BUDGET, _fused_vmem_bytes
+
+    def struct(v, hp, hu, o=0, rate=False):
+        pairs = tuple(con._static_pairs(v))
+        obst = tuple([vv for vv in range(v) for _ in range(o)]
+                     + (list(range(v)) * 2 if rate else []))
+        return (pairs, obst, hp, hu, True)
+
+    cases = [  # (B, mg, n, g_struct, measured-to-compile)
+        (1024, 120, 81, struct(4, 20, 20), True),          # bench shape
+        (256, 1216, 129, struct(8, 16, 16, 4, True), True),   # par-8 ss
+        (256, 990, 121, struct(12, 10, 10, 4), True),      # par-11 ghost
+        (256, 1200, 161, struct(16, 10, 10), True),        # 16-veh hp10
+        (8, 1936, 177, struct(11, 16, 16, 4, True), True),  # single tile
+        (256, 1936, 177, struct(11, 16, 16, 4, True), False),  # par-11 hp16
+        (256, 384, 257, struct(4, 64, 64), False),         # c4 hp64
+        (256, 1920, 257, struct(16, 16, 16), False),       # 16-veh hp16
+        (1024, 240, 11, None, True),                       # frog dense
+    ]
+    for b, mg, n, gs, want in cases:
+        est = _fused_vmem_bytes(b, mg, n, gs)
+        assert (est <= _FUSED_VMEM_BUDGET) == want, (b, mg, n, est)
