@@ -630,25 +630,77 @@ def solve_side_selection_stacked(
         return jax.vmap(lambda s, u, on, od: _select_from_trajectory(
             s, u, on, od, **kw))(sys_sel, u_ref, obst_normals, obst_dists)
 
-    def build_sep_rows(sel_pair, sel_obst):
-        """(B, C, n) separation rows + (B, C) rhs (no slack col/rate)."""
+    def build_slabs(sel_pair, sel_obst):
+        """Per-instance slabs for an assignment batch: gi/gj (B, P, K, U),
+        gob5 (B, V, O, K, U), h_pair (B, P, K), h_obst (B, V, O, K)."""
         if obst_normals is None:
-            return jax.vmap(lambda s, sp, so, dp, do: _rows_from_selection(
+            return jax.vmap(lambda s, sp, so, dp, do: _slabs_from_selection(
                 s, sp, so, dp, do))(
                     sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst)
-        return jax.vmap(_rows_from_selection)(
+        return jax.vmap(_slabs_from_selection)(
             sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
             obst_normals, obst_dists)
 
+    def build_sep_rows(sel_pair, sel_obst):
+        """(B, C, n) separation rows + (B, C) rhs (no slack col/rate)."""
+        gi, gj, gob5, h_pair, h_obst = build_slabs(sel_pair, sel_obst)
+        G_sep = jax.vmap(
+            lambda a, c, g: con.scatter_slabs(v, a, c, g, dtype=dtype)
+        )(gi, gj, gob5)
+        h_sep = jnp.concatenate(
+            [h_pair.reshape(h_pair.shape[0], -1),
+             h_obst.reshape(h_obst.shape[0], -1)], axis=1)
+        return G_sep, h_sep
+
+    # selection-independent rate slabs (per-vehicle bidiagonal blocks) and
+    # the per-row slack mask: separation rows carry the implicit -1 slack
+    # coefficient, the HARD rate rows carry 0 (qp g_slack_mask contract)
+    D_blk = jnp.eye(hu, dtype=dtype) - jnp.eye(hu, k=-1, dtype=dtype)
+    rate_slabs1 = jnp.concatenate(
+        [jnp.broadcast_to(D_blk, (v, hu, hu)),
+         jnp.broadcast_to(-D_blk, (v, hu, hu))])             # (2V, hu, hu)
+    slack_mask = _np.concatenate(
+        [_np.ones((sys.dsafe2_pair.shape[1] + v * n_obst) * hp),
+         _np.zeros(2 * n)])
+
     def build_rows(sel_pair, sel_obst):
-        G_sep, h_sep = build_sep_rows(sel_pair, sel_obst)
+        """Dense rows + rhs + flat slab statement for one assignment batch.
+
+        Returns (G, h, slabs) where slabs = (gi, gj, gob_flat) with
+        gob_flat (B, V*O + 2V, K, U) in the g_struct obst_veh order
+        (obstacles v-major, then the +D and -D rate blocks) — the dense G
+        is the fallback operand and dead-code-eliminates when the
+        structured path consumes the slabs.
+        """
+        gi, gj, gob5, h_pair, h_obst = build_slabs(sel_pair, sel_obst)
+        bsz = gi.shape[0]
+        G_sep = jax.vmap(
+            lambda a, c, g: con.scatter_slabs(v, a, c, g, dtype=dtype)
+        )(gi, gj, gob5)
+        h_sep = jnp.concatenate(
+            [h_pair.reshape(bsz, -1), h_obst.reshape(bsz, -1)], axis=1)
+        rep = bsz // b
         G = jnp.concatenate([
-            jnp.concatenate([G_sep, slack_col], axis=2), G_rate], axis=1)
-        h = jnp.concatenate([h_sep, h_rate], axis=1)
-        return G, h
+            jnp.concatenate([G_sep, _tile_b(slack_col, rep)], axis=2),
+            _tile_b(G_rate, rep)], axis=1)
+        h = jnp.concatenate([h_sep, _tile_b(h_rate, rep)], axis=1)
+        slabs = None
+        if hp == hu:
+            gob_flat = jnp.concatenate([
+                gob5.reshape(bsz, v * n_obst, hp, hu),
+                jnp.broadcast_to(rate_slabs1, (bsz, 2 * v, hu, hu))],
+                axis=1)
+            slabs = (gi, gj, gob_flat)
+        return G, h, slabs
+
+    def _tile_b(x, rep):
+        if rep == 1:
+            return x
+        return jnp.broadcast_to(
+            x[None], (rep,) + x.shape).reshape((rep * b,) + x.shape[1:])
 
     def solve_batch(G, h, u_ref, q_, lb_, ub_, phi_,
-                    fixed_iters=None):
+                    fixed_iters=None, slabs=None):
         fixed_iters = fixed_iters or qp_fixed_iters
         x0 = jnp.concatenate(
             [u_ref, jnp.zeros((u_ref.shape[0], 1), dtype)], axis=1)
@@ -658,6 +710,7 @@ def solve_side_selection_stacked(
             None, q_, G, h, lb_, ub_,
             max_iter=qp_max_iter, tol=qp_tol, x0=x0,
             fixed_iters=fixed_iters, correctors=qp_correctors,
+            g_slabs=slabs, g_slack_mask=slack_mask if slabs else None,
             p_blocks=2.0 * phi_, slack_schur=True,
             # fixed-iteration (calibrated f32) solves use the cheap
             # rp-recurrence certificate like the SCP hot path — the honest
@@ -679,9 +732,9 @@ def solve_side_selection_stacked(
     def one_round(carry, _):
         u_ref, it_acc = carry
         sel_pair_r, sel_obst_r = _vsel(u_ref, lat_commit=True)
-        G, h = build_rows(sel_pair_r, sel_obst_r)
+        G, h, slabs = build_rows(sel_pair_r, sel_obst_r)
         u_new, obj, slack, conv, iters = solve_batch(
-            G, h, u_ref, q_qp, lb, ub, phi)
+            G, h, u_ref, q_qp, lb, ub, phi, slabs=slabs)
         return ((u_new, it_acc + iters),
                 (u_new, obj, slack, conv, sel_pair_r, sel_obst_r))
 
@@ -694,8 +747,6 @@ def solve_side_selection_stacked(
         _, sel_lat_f = _vsel_nomax(u_init, consistent_lateral="flip")
         cand_obst = jnp.stack([sel_a, sel_b, sel_lon, sel_lat_c,
                                sel_lat_f])               # (5, B, V, O, K)
-        G5, h5 = jax.vmap(
-            lambda so: build_rows(sel_pair0, so))(cand_obst)
         n_cand = cand_obst.shape[0]
 
         def tile(x):
@@ -703,16 +754,22 @@ def solve_side_selection_stacked(
                 x[None], (n_cand,) + x.shape).reshape(
                     (n_cand * b,) + x.shape[1:])
 
+        G5, h5, slabs5 = jax.vmap(
+            lambda so: build_rows(sel_pair0, so))(cand_obst)
+        Gc = G5.reshape((n_cand * b,) + G5.shape[2:])
+        hc = h5.reshape(n_cand * b, -1)
+        slabs_c = (None if slabs5 is None else tuple(
+            x.reshape((n_cand * b,) + x.shape[2:]) for x in slabs5))
+
         # Candidate solves only need RANKING fidelity — the winner is
         # refined at full accuracy by the reselection round(s), and a
         # not-yet-converged objective is an overestimate (conservative for
         # the incumbent comparison) — so a calibrated lower iteration
         # count here cuts the 5-candidate phase's cost.
         u5, obj5, sl5, cv5, it5 = solve_batch(
-            G5.reshape((n_cand * b,) + G5.shape[2:]),
-            h5.reshape(n_cand * b, -1), tile(u_init),
+            Gc, hc, tile(u_init),
             tile(q_qp), tile(lb), tile(ub), tile(phi),
-            fixed_iters=qp_candidate_iters)
+            fixed_iters=qp_candidate_iters, slabs=slabs_c)
         bi = jnp.arange(b)
         pick = jnp.argmin(rank(obj5, sl5).reshape(n_cand, b), axis=0)
         u0_ = u5.reshape(n_cand, b, n)[pick, bi]

@@ -428,7 +428,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      slack_schur: bool = False,
                      certificate: bool = True,
                      g_struct: tuple | None = None,
-                     g_slabs: tuple | None = None) -> QPSolution:
+                     g_slabs: tuple | None = None,
+                     g_slack_mask=None) -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -458,7 +459,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     ``G^T W_g G`` MXU dot, its layout transpose, and the K HBM round trip
     (measured ~45% of the fused loop) all disappear. Ignored elsewhere.
 
-    ``g_slabs = (gi (B,P,K,U), gj (B,P,K,U), gob (B,V,O,K,U))``: the same
+    ``g_slack_mask`` (host array, (mg,)): per-row slack-coefficient mask
+    for the slab path — 1.0 where the row carries the implicit ``-1``
+    slack coefficient, 0.0 for HARD rows (e.g. the side-selection
+    controller's steering-rate rows). None = all rows soft (the SCP
+    shape). Ignored off the slab path (dense G carries its own column).
+
+    ``g_slabs = (gi (B,P,K,U), gj (B,P,K,U), gob (B,V,O,K,U) OR flat
+    (B,S,K,U) in ``g_struct`` obst_veh order)``: the same
     rows delivered directly as slabs (``constraints.linearize_slabs``,
     slack column NOT included — it is the implicit trailing ``-1``).
     HARD CONTRACT: every avoidance row's slack coefficient must be exactly
@@ -646,19 +654,28 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # --- equilibration (canonical, once per solve) ---
     if use_slabs:
         gi_b, gj_b, gob_b = g_slabs
-        # row norms in row order [pairs | obstacles]; every avoidance row
-        # also carries the implicit -1 slack coefficient (hence the +1).
+        if gob_b.ndim == 5:
+            # (B, V, O, K, U) -> flat (B, S, K, U); v-major order matches
+            # the canonical obst_veh enumeration
+            gob_b = gob_b.reshape((B, -1) + gob_b.shape[3:])
+        assert gob_b.shape[1] == len(g_struct[1]), \
+            (gob_b.shape, "slab count must match g_struct obst_veh")
+        slack_mask = (jnp.ones((mg,), dtype) if g_slack_mask is None
+                      else jnp.asarray(g_slack_mask, dtype))
+        # row norms in row order [pairs | single-block slabs]; a row's
+        # slack coefficient is -1 where masked (slack_mask^2 == slack_mask)
         row_norm = jnp.sqrt(jnp.concatenate([
             (jnp.sum(gi_b * gi_b, -1)
              + jnp.sum(gj_b * gj_b, -1)).reshape(B, -1),
             jnp.sum(gob_b * gob_b, -1).reshape(B, -1),
-        ], axis=1) + 1.0)                                     # (B, mg)
+        ], axis=1) + slack_mask[None, :])                     # (B, mg)
         d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
+        d_slack = d_row * slack_mask[None, :]                 # (B, mg)
         pk = gi_b.shape[1] * gi_b.shape[2]
         d_pairk = d_row[:, :pk].reshape(gi_b.shape[:3])
         gi_c = gi_b * d_pairk[..., None]
         gj_c = gj_b * d_pairk[..., None]
-        gob_c = gob_b * d_row[:, pk:].reshape(gob_b.shape[:4])[..., None]
+        gob_c = gob_b * d_row[:, pk:].reshape(gob_b.shape[:3])[..., None]
     else:
         row_norm = jnp.linalg.norm(G, axis=2)                 # (B, mg)
         d_row = 1.0 / jnp.maximum(row_norm, 1e-10)
@@ -700,36 +717,37 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             pi_idx = jnp.asarray([i for i, _ in pairs_s0], jnp.int32)
             pj_idx = jnp.asarray([j for _, j in pairs_s0], jnp.int32)
 
-            # xv has xv_shape0 = nu/hu vehicle blocks, which may exceed the
-            # slabs' REAL vehicle count when ghost alignment vehicles are
-            # appended (no constraint row touches them) — obstacle einsums
-            # run on the real prefix only.
-            v_real0 = gob_c.shape[1]
+            # xv has xv_shape0 = nu/hu vehicle blocks, which may exceed
+            # the slabs' REAL vehicle count when ghost alignment vehicles
+            # are appended (no constraint row touches them) — single-block
+            # slabs address vehicles through the obst_veh map, which never
+            # names a ghost.
+            ov_idx = jnp.asarray(obst_veh0, jnp.int32)        # (S,)
 
             def gmv(x):                                       # (n,B)->(mg,B)
-                # slab einsums; the implicit slack column adds -d_row * w
+                # slab einsums; masked rows add the -d_row slack column
                 xv = t(x[:nu0]).reshape(B, -1, hu_s0)         # (B, V, U)
                 rows_p = (jnp.einsum("bpku,bpu->bpk", gi_c, xv[:, pi_idx],
                                      precision=_HI)
                           + jnp.einsum("bpku,bpu->bpk", gj_c,
                                        xv[:, pj_idx], precision=_HI))
-                rows_o = jnp.einsum("bvoku,bvu->bvok", gob_c,
-                                    xv[:, :v_real0], precision=_HI)
+                rows_o = jnp.einsum("bsku,bsu->bsk", gob_c,
+                                    xv[:, ov_idx], precision=_HI)
                 rows = jnp.concatenate(
                     [rows_p.reshape(B, -1), rows_o.reshape(B, -1)], axis=1)
-                return t(rows) - d_row.T * x[nu0][None, :]
+                return t(rows) - d_slack.T * x[nu0][None, :]
 
             def gtmv(v):                                      # (mg,B)->(n,B)
                 pk0 = gi_c.shape[1] * gi_c.shape[2]
                 vp = t(v[:pk0]).reshape(gi_c.shape[:3])       # (B, P, K)
-                vo = t(v[pk0:]).reshape(gob_c.shape[:4])      # (B, V, O, K)
+                vo = t(v[pk0:]).reshape(gob_c.shape[:3])      # (B, S, K)
                 ci = jnp.einsum("bpku,bpk->bpu", gi_c, vp, precision=_HI)
                 cj = jnp.einsum("bpku,bpk->bpu", gj_c, vp, precision=_HI)
                 acc = jnp.zeros((B, xv_shape0, hu_s0), dtype) \
                     .at[:, pi_idx].add(ci).at[:, pj_idx].add(cj)
-                acc = acc.at[:, :v_real0].add(
-                    jnp.einsum("bvoku,bvok->bvu", gob_c, vo, precision=_HI))
-                slack = -jnp.sum(d_row * t(v), axis=1)        # (B,)
+                acc = acc.at[:, ov_idx].add(
+                    jnp.einsum("bsku,bsk->bsu", gob_c, vo, precision=_HI))
+                slack = -jnp.sum(d_slack * t(v), axis=1)      # (B,)
                 return jnp.concatenate(
                     [t(acc.reshape(B, nu0)), slack[None, :]], axis=0)
         else:
@@ -938,13 +956,14 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
 
             if use_slabs:
                 # equilibrated slabs straight from the caller's
-                # linearization — the dense G was never read.
+                # linearization — the dense G was never read. gob_c is
+                # already flat (B, S, K, U) in obst_veh order; hard rows
+                # (slack_mask 0) get a zero slack coefficient.
                 gi_sl = _pad_u(jnp.transpose(gi_c, (1, 2, 3, 0)))
                 gj_sl = _pad_u(jnp.transpose(gj_c, (1, 2, 3, 0)))
                 gob_sl = _pad_u(jnp.transpose(
-                    gob_c.reshape((B, -1) + gob_c.shape[3:]),
-                    (1, 2, 3, 0))) if obst_veh else None
-                gsl_sl = lane_pad(t(-d_row), mg_pad, 0.0)
+                    gob_c, (1, 2, 3, 0))) if obst_veh else None
+                gsl_sl = lane_pad(t(-d_slack), mg_pad, 0.0)
             else:
 
                 def _slab(parts):   # list of (B, hp, hu) -> (C, hp, hu8, B)
