@@ -142,3 +142,39 @@ def test_solve_qp_gondzio_correctors_take_effect():
     # ...and after the same few iterations is at least as close to the
     # converged optimum (acceptance requires the step length to grow)
     assert d_gond <= d_plain * 1.05, (d_gond, d_plain)
+
+
+def test_side_selection_knobs_reach_solver(monkeypatch):
+    """The side-selection stacked path's knobs must reach the batched QP:
+    candidate solves get side_selection_cand_iters, reselection rounds get
+    qp_fixed_iters, correctors/slack-mask plumb through (the same
+    no-silent-no-op guarantee the SCP paths have)."""
+    from scp_tpu.solvers import miqp
+
+    calls = []
+    real = qp_lib.solve_qp_batched
+
+    def rec(*a, **kw):
+        calls.append(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qp_lib, "solve_qp_batched", rec)
+    cfg, data = batch_lib.make_batch("frog", 2, key=jax.random.PRNGKey(1),
+                                     dtype=jnp.float64)
+    cfg = cfg.replace(hp=4, hu=4, controller="side_selection",
+                      qp_fixed_iters=9, side_selection_cand_iters=5,
+                      qp_correctors=1)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    engine.mpc_step_batch(cfg, data, carry)   # unjitted: recorder runs
+    # candidate phase first, then one reselection round
+    assert len(calls) == 2
+    assert calls[0]["fixed_iters"] == 5, "candidate iters not forwarded"
+    assert calls[1]["fixed_iters"] == 9, "final iters not forwarded"
+    for kw in calls:
+        assert kw["correctors"] == 1
+        assert kw["g_slack_mask"] is not None, "slab slack mask missing"
+        # hard rate rows are unmasked (0), separation rows masked (1)
+        mask = np.asarray(kw["g_slack_mask"])
+        n = cfg.n_veh * cfg.hu
+        assert mask[-2 * n:].sum() == 0 and mask[:-2 * n].min() == 1
