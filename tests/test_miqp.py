@@ -478,3 +478,48 @@ def test_stacked_side_selection_struct_fused_interpret():
     u = np.asarray(r_fused.u).reshape(4, 3, 8)
     du = np.diff(u, axis=2, prepend=np.asarray(carry.u_prev1)[:, :, None])
     assert np.abs(du).max() <= cfg.u_lim + 1e-4
+
+
+def test_stacked_side_selection_ghost_padding_interpret():
+    """Ghost alignment padding x slab-direct side selection: parallel-3 at
+    hp=hu=10 has nu=30 (not a sublane multiple), so the struct path
+    engages via 1 ghost vehicle while consuming FLAT slabs with the hard
+    rate rows' zero slack mask — the three mechanisms composed were
+    previously untested together."""
+    from scp_tpu.ops import pallas_linalg as pll
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+    from scp_tpu.solvers import miqp
+
+    cfg, data = batch_lib.make_batch("parallel", 4, key=jax.random.PRNGKey(4),
+                                     dtype=jnp.float32, n_veh=3)
+    cfg = cfg.replace(hp=10, hu=10, controller="side_selection")
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    _, aux = jax.jit(jax.vmap(
+        lambda d, c: engine.controller_pre(cfg, d, c)))(data, carry)
+    sys_, u_max, ref_pts, x0, obst_pos, _ = aux
+    args = (sys_, ref_pts, data.params.q, data.params.q_final,
+            data.params.r, carry.u_prev1, u_max, carry.u_warm)
+    kw = dict(du_lim=cfg.u_lim,
+              dsafe_pair=jax.vmap(
+                  lambda d, s: d.dsafe_veh[s.pair_i, s.pair_j])(data, sys_),
+              dsafe_obst=data.dsafe_obst,
+              qp_fixed_iters=12, qp_tol=1e-6)
+    old = pll.INTERPRET
+    pll.INTERPRET = True
+    try:
+        r_fused = jax.jit(lambda *a: miqp.solve_side_selection_stacked(
+            *a, qp_use_pallas=True, **kw))(*args)
+    finally:
+        pll.INTERPRET = old
+    r_ref = jax.jit(lambda *a: miqp.solve_side_selection_stacked(
+        *a, qp_use_pallas=False, **kw))(*args)
+    np.testing.assert_allclose(np.asarray(r_fused.u), np.asarray(r_ref.u),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(r_fused.feasible),
+                                  np.asarray(r_ref.feasible))
+    # hard rate rows hold in the fused solution
+    u = np.asarray(r_fused.u).reshape(4, 3, 10)
+    du = np.diff(u, axis=2, prepend=np.asarray(carry.u_prev1)[:, :, None])
+    assert np.abs(du).max() <= cfg.u_lim + 1e-4
