@@ -641,17 +641,6 @@ def solve_side_selection_stacked(
             sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
             obst_normals, obst_dists)
 
-    def build_sep_rows(sel_pair, sel_obst):
-        """(B, C, n) separation rows + (B, C) rhs (no slack col/rate)."""
-        gi, gj, gob5, h_pair, h_obst = build_slabs(sel_pair, sel_obst)
-        G_sep = jax.vmap(
-            lambda a, c, g: con.scatter_slabs(v, a, c, g, dtype=dtype)
-        )(gi, gj, gob5)
-        h_sep = jnp.concatenate(
-            [h_pair.reshape(h_pair.shape[0], -1),
-             h_obst.reshape(h_obst.shape[0], -1)], axis=1)
-        return G_sep, h_sep
-
     # selection-independent rate slabs (per-vehicle bidiagonal blocks) and
     # the per-row slack mask: separation rows carry the implicit -1 slack
     # coefficient, the HARD rate rows carry 0 (qp g_slack_mask contract)
@@ -811,14 +800,25 @@ def solve_side_selection_stacked(
         sel_last = sel0
 
     # fixed-point check (see solve_side_selection): identical induced
-    # selection, or the incumbent already satisfies every induced row
+    # selection, or the incumbent already satisfies every induced row —
+    # evaluated on the slabs directly (the dense scatter never builds)
     sel_pair_f, sel_obst_f = _vsel(u, lat_commit=True)
     identical = (jnp.all(sel_last[0] == sel_pair_f, axis=(1, 2))
                  & jnp.all(sel_last[1] == sel_obst_f, axis=(1, 2, 3)))
-    G_f, h_f = build_sep_rows(sel_pair_f, sel_obst_f)
-    induced = jnp.einsum("bcn,bn->bc", G_f, u) - h_f
-    induced_ok = jnp.max(induced, axis=1, initial=-jnp.inf) \
-        <= constraint_tolerance
+    gi_f, gj_f, gob_f, hp_f, ho_f = build_slabs(sel_pair_f, sel_obst_f)
+    uv_f = u.reshape(b, v, hu)
+    pairs_f = con._static_pairs(v)
+    if pairs_f:
+        pi_f = jnp.asarray([i for i, _ in pairs_f], jnp.int32)
+        pj_f = jnp.asarray([j for _, j in pairs_f], jnp.int32)
+        res_p = (jnp.einsum("bpku,bpu->bpk", gi_f, uv_f[:, pi_f])
+                 + jnp.einsum("bpku,bpu->bpk", gj_f, uv_f[:, pj_f])) - hp_f
+        max_p = jnp.max(res_p.reshape(b, -1), axis=1, initial=-jnp.inf)
+    else:
+        max_p = jnp.full((b,), -jnp.inf, dtype)
+    res_o = jnp.einsum("bvoku,bvu->bvok", gob_f, uv_f) - ho_f
+    max_o = jnp.max(res_o.reshape(b, -1), axis=1, initial=-jnp.inf)
+    induced_ok = jnp.maximum(max_p, max_o) <= constraint_tolerance
     sides_stable = identical | induced_ok
     ev = jax.vmap(lambda s, uu: con.evaluate(
         s, uu, constraint_tolerance, compat_q5=False))(sys_sel, u)
