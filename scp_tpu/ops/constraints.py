@@ -181,6 +181,27 @@ def linearize_slabs(sys: ConstraintSystem, u: jax.Array,
     return gi, gj, gv, rhs
 
 
+def linearize_ycoefs(sys: ConstraintSystem, u: jax.Array):
+    """POSITION-space coefficients of the linearized rows at ``u``.
+
+    The input of the banded (Riccati) KKT path (ops/riccati.py): pair row
+    (p, k) acts on the stage positions as ``y_pair[p,k]·Δy_k^i -
+    y_pair[p,k]·Δy_k^j`` and obstacle row (v, o, k) as
+    ``y_obst[v,o,k]·Δy_k^v`` — the same rows :func:`linearize_slabs`
+    returns already multiplied into the condensed blocks (``gi = y·b3i``,
+    ``gj = -y·b3j``, ``gob = y·b3``). Coupling masks are applied (masked
+    rows are zero rows, matching the slabs). Returns
+    ``(y_pair (P, K, NY), y_obst (V, O, K, NY))``.
+    """
+    v = sys.b3.shape[0]
+    pos = positions(sys, u)
+    d_pair = _pair_diff(pos, v)
+    y_pair = -2.0 * d_pair * sys.pair_mask[:, None, None]
+    d_obst = pos[:, None] - sys.obst_pos[None]
+    y_obst = -2.0 * d_obst * sys.obst_mask[:, :, None, None]
+    return y_pair, y_obst
+
+
 def scatter_slabs(v: int, gi, gj, gob, dtype=None):
     """Assemble the dense stacked ``G (C, n)`` from row slabs (the scatter
     half of the old monolithic ``linearize``; kept for the dense QP path

@@ -228,8 +228,18 @@ def controller_pre(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
     sys_ = con.make_system(cm.math_b, cm.const_term, obst_pos,
                            data.dsafe_veh, data.dsafe_obst,
                            cfg.dsafe_extra, cfg.hp, cfg.hu)
+    banded_pre = None
+    if cfg.qp_kkt != "dense":
+        # stage statement of the SAME problem for the banded (Riccati)
+        # KKT path: dynamics + the cost's stage decomposition
+        # (P == 2*blockdiag(B^T Q B + r I), MPC_Iter.py:116-127)
+        qy = 2.0 * jnp.broadcast_to(data.params.q[:, None],
+                                    (cfg.n_veh, cfg.hp))
+        qy = qy.at[:, -1].set(2.0 * data.params.q_final)
+        banded_pre = (A, B[:, :, 0], qy.astype(data.x0.dtype),
+                      2.0 * data.params.r)
     problem = scp.SCPProblem(sys=sys_, phi0=cm.phi0, psi0=cm.psi0,
-                             gamma0=cm.gamma0)
+                             gamma0=cm.gamma0, banded_pre=banded_pre)
     return problem, (sys_, u_max, ref_pts, x0, obst_pos, delay_traj)
 
 
@@ -248,6 +258,7 @@ def _scp_kwargs(cfg: SCPConfig) -> dict:
         qp_correctors=cfg.qp_correctors,
         qp_warm_dual=cfg.qp_warm_dual,
         qp_cheap_k=cfg.qp_cheap_k,
+        qp_kkt=cfg.qp_kkt,
         compat_q5=cfg.compat_q5)
 
 
@@ -370,7 +381,13 @@ def mpc_controller(cfg: SCPConfig, data: ScenarioData, carry: SimCarry):
             # dsafeExtra never enters them (MIQP.py:226-227,260)
             dsafe_pair=data.dsafe_veh[sys_.pair_i, sys_.pair_j],
             dsafe_obst=data.dsafe_obst,
-            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol, **rect)
+            qp_max_iter=cfg.qp_max_iter, qp_tol=cfg.qp_tol,
+            # calibration knobs (config.TUNED_F32_SIDE_SELECTION) — same
+            # plumbing as _side_selection_step_batch (VERDICT r4 next #2:
+            # the per-instance path used to drop them silently)
+            qp_fixed_iters=cfg.qp_fixed_iters or None,
+            qp_candidate_iters=cfg.side_selection_cand_iters or None,
+            qp_correctors=cfg.qp_correctors, **rect)
         res = scp.SCPResult(
             u=ss.u, feasible=ss.feasible, converged=ss.converged,
             obj=ss.obj, max_violation=jnp.maximum(ss.slack, 0.0),
@@ -429,6 +446,13 @@ def mpc_step_batch(cfg: SCPConfig, data: ScenarioData, carry: SimCarry,
     stop paying for the few that run to the SCP iteration cap.
     """
     if cfg.controller == "side_selection":
+        if phases is not None:
+            # the side-selection controller runs a FIXED round count; a
+            # straggler phase schedule has no meaning for it and must not
+            # be dropped silently (ADVICE r4)
+            raise ValueError(
+                "phases (SCP straggler schedule) is not applicable to the "
+                "side_selection controller; pass phases=None")
         return _side_selection_step_batch(cfg, data, carry)
     if cfg.controller != "scp":
         # unknown controllers fall back to the per-instance dispatcher

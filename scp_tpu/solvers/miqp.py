@@ -379,8 +379,22 @@ def solve_side_selection(sys: con.ConstraintSystem,
                          obst_normals=None, obst_dists=None,
                          dsafe_pair=None, dsafe_obst=None,
                          qp_max_iter: int = 30,
-                         qp_tol: float = 1e-8) -> SideSelectionResult:
+                         qp_tol: float = 1e-8,
+                         qp_fixed_iters: int | None = None,
+                         qp_candidate_iters: int | None = None,
+                         qp_correctors: int = 0,
+                         qp_use_pallas: bool | None = None
+                         ) -> SideSelectionResult:
     """Solve the side-selection convex program for one scenario instance.
+
+    This is the B = 1 view of :func:`solve_side_selection_stacked` — ONE
+    implementation of the candidate set, rank rule, incumbent scan and
+    fixed-point check serves both entry points (VERDICT r4 next #3: the
+    two ~250-line near-twins had already drifted once, silently dropping
+    the per-instance path's calibration knobs). All solver knobs —
+    ``qp_fixed_iters`` / ``qp_candidate_iters`` / ``qp_correctors``
+    (``config.TUNED_F32_SIDE_SELECTION``) — therefore reach the
+    per-instance path identically.
 
     ``obst_normals``/``obst_dists`` (from
     :func:`rectangle_obstacle_geometry`) switch obstacle avoidance to the
@@ -394,149 +408,24 @@ def solve_side_selection(sys: con.ConstraintSystem,
     passes the raw distances here; the default (None) falls back to the
     system's padded distances. Feasibility is evaluated at the same
     distances the rows enforce.
-
-    ``multi_candidate``: the scored selection alone picks an infeasible
-    LONGITUDINAL separation when an obstacle sits nearly dead-ahead (a
-    constant-speed vehicle cannot fall behind its own path), and a
-    per-step pick FLIPS lateral sides when an obstacle crosses the path —
-    both measured against the enumeration oracle in tests/test_miqp.py.
-    The first round therefore solves FIVE candidate assignments — the
-    per-step lon/committed-lateral mix for BOTH committed sides, pure
-    longitudinal, and both pure committed-lateral assignments — in one
-    vmap and keeps the best (hard-feasible first, then objective), which
-    is exactly the subset of integer leaves a branch-and-bound would probe
-    first. Subsequent rounds are the usual reselection fixed-point
-    iteration, and the best incumbent across candidates and rounds is
-    returned.
     """
-    v, hp, _, hu = sys.b3.shape
-    n = v * hu
-    dtype = u_init.dtype
+    def b1(x):
+        return (None if x is None
+                else jax.tree_util.tree_map(lambda a: a[None], x))
 
-    P_qp, q_qp, lb, ub, slack_col, G_rate, h_rate, _ = _assemble_qp(
-        sys, ref_points, q_weight, q_final, r_weight, u0, u_max,
+    res = solve_side_selection_stacked(
+        b1(sys), ref_points[None], q_weight[None], q_final[None],
+        r_weight[None], u0[None], u_max[None], u_init[None],
         du_lim=du_lim, slack_weight=slack_weight, slack_ub=slack_ub,
-        dtype=dtype)
-    if dsafe_pair is None:
-        dsafe_pair = jnp.sqrt(sys.dsafe2_pair)
-    if dsafe_obst is None:
-        dsafe_obst = jnp.sqrt(sys.dsafe2_obst)
-    # selection scores + feasibility evaluation run at the SAME distances
-    # the rows enforce
-    sys_sel = sys._replace(dsafe2_pair=dsafe_pair ** 2,
-                           dsafe2_obst=dsafe_obst ** 2)
-
-    def solve_with_sel(sel_pair, sel_obst, u_ref):
-        G_sep, h_sep = _rows_from_selection(
-            sys, sel_pair, sel_obst, dsafe_pair, dsafe_obst,
-            obst_normals, obst_dists)
-        G = jnp.concatenate([
-            jnp.concatenate([G_sep, slack_col], axis=1),
-            G_rate,
-        ], axis=0)
-        h = jnp.concatenate([h_sep, h_rate])
-        x0 = jnp.concatenate([u_ref, jnp.zeros((1,), dtype)])
-        sol = qp.solve_qp(P_qp, q_qp, G, h, lb, ub,
-                          max_iter=qp_max_iter, tol=qp_tol, x0=x0)
-        ok = jnp.all(jnp.isfinite(sol.x))
-        u_new = jnp.where(ok, sol.x[:n], u_ref)
-        return u_new, sol.obj, sol.x[n], sol.converged & ok, sol.iters
-
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-
-    def rank(obj, slack):
-        """Hard-feasible solutions rank by objective, soft ones after by
-        slack — the candidate/round comparison rule (B&B incumbent order).
-        "Hard" means the selected rows hold within the QCQP constraint
-        tolerance: an IPM solve leaves ~mu of slack dust above the exact 0
-        (in f32 fixed-iteration mode ~1e-4), so a literal slack == 0 test
-        would rank every candidate by dust instead of objective —
-        measured as a 9x objective regression on the canonical frog."""
-        hard = slack < jnp.asarray(constraint_tolerance, dtype)
-        return jnp.where(hard, obj, big * 0.5 + slack)
-
-    def one_round(carry, _):
-        u_ref, it_acc = carry
-        sel_pair, sel_obst = _select_from_trajectory(
-            sys_sel, u_ref, obst_normals, obst_dists, u_max=u_max,
-            lat_commit=True)
-        u_new, obj, slack, conv, iters = solve_with_sel(
-            sel_pair, sel_obst, u_ref)
-        return ((u_new, it_acc + iters),
-                (u_new, obj, slack, conv, sel_pair, sel_obst))
-
-    use_candidates = multi_candidate and sys.obst_pos.shape[0] > 0
-    if use_candidates:
-        sel_pair0, sel_full_a = _select_from_trajectory(
-            sys_sel, u_init, obst_normals, obst_dists, u_max=u_max,
-            lat_commit=True)
-        _, sel_full_b = _select_from_trajectory(
-            sys_sel, u_init, obst_normals, obst_dists, u_max=u_max,
-            lat_commit="flip")
-        _, sel_lon = _select_from_trajectory(
-            sys_sel, u_init, obst_normals, obst_dists, obst_sides=(0, 1),
-            u_max=u_max)
-        _, sel_lat_c = _select_from_trajectory(
-            sys_sel, u_init, obst_normals, obst_dists, consistent_lateral=True)
-        _, sel_lat_f = _select_from_trajectory(
-            sys_sel, u_init, obst_normals, obst_dists, consistent_lateral="flip")
-        cand_obst = jnp.stack([sel_full_a, sel_full_b, sel_lon, sel_lat_c,
-                               sel_lat_f])
-        u_c, obj_c, slack_c, conv_c, it_c = jax.vmap(
-            lambda so: solve_with_sel(sel_pair0, so, u_init))(cand_obst)
-        pick = jnp.argmin(rank(obj_c, slack_c))
-        init = (u_c[pick], obj_c[pick], slack_c[pick], conv_c[pick],
-                jnp.sum(it_c))          # all candidates were actually solved
-        sel0 = (sel_pair0, cand_obst[pick])
-        scan_rounds = n_rounds - 1
-    else:
-        init = (u_init, big, jnp.asarray(big, dtype), jnp.array(False),
-                jnp.asarray(0))
-        sel0 = _select_from_trajectory(sys_sel, u_init, obst_normals, obst_dists,
-                                       u_max=u_max, lat_commit=True)
-        scan_rounds = n_rounds
-
-    u0_, obj0, slack0, conv0, qp_its0 = init
-    if scan_rounds > 0:
-        (_, qp_its), ys = jax.lax.scan(one_round, (u0_, qp_its0), None,
-                                       length=scan_rounds)
-        # Keep the BEST result across the initial incumbent and every
-        # reselection round (a worse reselection must not displace a
-        # better incumbent — B&B keeps its incumbent).
-        all_u = jnp.concatenate([u0_[None], ys[0]])
-        all_obj = jnp.concatenate([obj0[None], ys[1]])
-        all_slack = jnp.concatenate([slack0[None], ys[2]])
-        all_conv = jnp.concatenate([conv0[None], ys[3]])
-        all_selp = jnp.concatenate([sel0[0][None], ys[4]])
-        all_selo = jnp.concatenate([sel0[1][None], ys[5]])
-        best = jnp.argmin(rank(all_obj, all_slack))
-        u, obj, slack, conv = (all_u[best], all_obj[best], all_slack[best],
-                               all_conv[best])
-        sel_last = (all_selp[best], all_selo[best])
-    else:
-        u, obj, slack, conv, qp_its = init
-        sel_last = sel0
-    # Fixed-point check: another reselection round would change nothing —
-    # either the induced selection is IDENTICAL to the solved one, or the
-    # returned solution already satisfies every induced row (then the
-    # incumbent stays feasible-optimal for the re-selected QP; picks of
-    # far, non-binding constraints routinely flip without consequence).
-    sel_pair_f, sel_obst_f = _select_from_trajectory(
-        sys_sel, u, obst_normals, obst_dists, u_max=u_max, lat_commit=True)
-    identical = (jnp.all(sel_last[0] == sel_pair_f)
-                 & jnp.all(sel_last[1] == sel_obst_f))
-    G_f, h_f = _rows_from_selection(
-        sys, sel_pair_f, sel_obst_f, dsafe_pair, dsafe_obst,
-        obst_normals, obst_dists)
-    induced_ok = jnp.max(G_f @ u - h_f, initial=-jnp.inf) \
-        <= constraint_tolerance
-    sides_stable = identical | induced_ok
-    ev = con.evaluate(sys_sel, u, constraint_tolerance, compat_q5=False)
-    return SideSelectionResult(u=u, obj=obj, slack=slack,
-                               feasible=ev.feasible, converged=conv,
-                               rounds=jnp.asarray(n_rounds),
-                               sides_stable=sides_stable,
-                               qp_iters=qp_its)
+        constraint_tolerance=constraint_tolerance, n_rounds=n_rounds,
+        multi_candidate=multi_candidate,
+        obst_normals=b1(obst_normals), obst_dists=b1(obst_dists),
+        dsafe_pair=b1(dsafe_pair), dsafe_obst=b1(dsafe_obst),
+        qp_max_iter=qp_max_iter, qp_tol=qp_tol,
+        qp_fixed_iters=qp_fixed_iters,
+        qp_candidate_iters=qp_candidate_iters,
+        qp_correctors=qp_correctors, qp_use_pallas=qp_use_pallas)
+    return jax.tree_util.tree_map(lambda a: a[0], res)
 
 
 def solve_side_selection_stacked(

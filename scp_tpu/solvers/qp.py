@@ -36,6 +36,27 @@ import jax.numpy as jnp
 from scp_tpu.ops import linalg
 
 
+class BandedData(NamedTuple):
+    """Stage-structured problem data for the banded (Riccati) KKT path.
+
+    States the SAME QP the dense inputs describe, in multiple-shooting
+    form (ops/riccati.py): per-vehicle discrete dynamics, the raw
+    position-space coefficients of every constraint row
+    (``constraints.linearize_ycoefs``), and the stage decomposition of the
+    cost (``P == 2*blockdiag(B^T Q B + r I)`` => stage weights ``qy = 2q``
+    per position, ``ru = 2r`` per input). The pair list is the canonical
+    triu order (``constraints._static_pairs``) — the SCP row layout.
+    Rows must act PURELY through the stage positions (true for the SCP's
+    pair/obstacle rows; NOT for e.g. the side-selection rate rows).
+    """
+    a_blk: jax.Array   # (V, NX, NX) discrete A per vehicle
+    b_blk: jax.Array   # (V, NX)     discrete B per vehicle
+    y_pair: jax.Array  # (P, K, NY)  pair-row position coefficients
+    y_obst: jax.Array  # (V, O, K, NY)
+    qy: jax.Array      # (V, K) stage tracking weights (2q, 2q_final last)
+    ru: jax.Array      # (V,)   stage input weights (2r)
+
+
 class QPSolution(NamedTuple):
     x: jax.Array           # (n,) primal solution
     obj: jax.Array         # 0.5 x^T P x + q^T x (unscaled)
@@ -51,7 +72,8 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
              use_pallas: bool | None = None,
              correctors: int = 0,
              axis_name: str | None = None,
-             mg_total: int | None = None) -> QPSolution:
+             mg_total: int | None = None,
+             banded: BandedData | None = None) -> QPSolution:
     """Solve one QP instance. All inputs dense; vmap for batching.
 
     P: (n, n) PSD, q: (n,), G: (m, n), h: (m,), lb/ub: (n,).
@@ -213,6 +235,69 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
         if pad:
             return dsc * solve_fn(L, jnp.pad(rhs, (0, pad)))[:n]
         return dsc * solve_fn(L, rhs)
+
+    if banded is not None:
+        # ---- banded (Riccati) KKT: replace the dense O(n^3) factor with
+        # the block-banded stage sweep (ops/riccati.py) — the SAME linear
+        # system (K + reg*diag(K)) dx = rhs, solved through its
+        # multiple-shooting form in O(K * (V*NX)^3). The slack column ω
+        # is a dense border, eliminated by a 1x1 Schur complement (two
+        # stage solves per factorization instead of one).
+        assert axis_name is None, "banded KKT is not row-sharded"
+        from scp_tpu.ops import constraints as con_mod
+        from scp_tpu.ops import riccati as ric
+
+        v_b = banded.a_blk.shape[0]
+        nu = n - 1
+        hu_st = nu // v_b
+        assert v_b * hu_st == nu, (v_b, n)
+        k_st = banded.y_obst.shape[2]
+        assert k_st == hu_st, "banded path requires hp == hu"
+        pairs_b = tuple(con_mod._static_pairs(v_b))
+        assert banded.y_pair.shape[0] == len(pairs_b)
+        pk_rows = len(pairs_b) * k_st
+        Gu2 = G_s[:, :nu] ** 2                   # loop-invariant
+        g_sl = G_s[:, nu]                        # slack column (scaled)
+
+        def stagef(vec):                         # u-space (nu,) -> (K, V)
+            return vec.reshape(v_b, hu_st).T
+
+        def factor(s, z):
+            w = z / s
+            w_g = w[:mg]
+            # equilibrated rows are d_row * raw rows: G^T W G =
+            # sum (w d^2) c_raw c_raw^T on the position coefficients
+            wd = w_g * d_row * d_row
+            w_pair = wd[:pk_rows].reshape(len(pairs_b), k_st)
+            w_ob = wd[pk_rows:].reshape(v_b, -1, k_st)
+            hy = ric.build_hy(pairs_b, banded.y_pair, banded.y_obst,
+                              w_pair, w_ob, banded.qy * cost_scale)
+            dbox = w[mg:mg + n] + w[mg + n:]
+            # dense-path equivalence: Jacobi scaling + reg on the unit
+            # diagonal == solving (K + reg * diag(K)); diag(K) is a
+            # u-space diagonal, i.e. a per-stage input-cost term
+            diagK_u = jnp.diagonal(P_s)[:nu] + w_g @ Gu2 + dbox[:nu]
+            hu_diag = (banded.ru * cost_scale)[None, :] \
+                + stagef(dbox[:nu] + reg_rel * diagK_u)
+            fac = ric.riccati_factor(banded.a_blk, banded.b_blk, hy,
+                                     hu_diag)
+            # slack border: K's last column restricted to u, and K_ww
+            # (P's border entries are zero in the SCP shape by contract,
+            # included here for generality)
+            c_uw = (w_g * g_sl) @ G_s[:, :nu] + P_s[:nu, n - 1]
+            k_ww = (jnp.dot(w_g * g_sl, g_sl) + dbox[n - 1]
+                    + P_s[n - 1, n - 1]) * (1.0 + reg_rel)
+            y2 = ric.riccati_solve(fac, banded.a_blk, banded.b_blk,
+                                   stagef(c_uw))
+            return (fac, c_uw, k_ww, y2.T.reshape(nu)), None
+
+        def tri_solve(facB, _dsc, rhs):          # noqa: F811
+            fac, c_uw, k_ww, y2 = facB
+            y1 = ric.riccati_solve(fac, banded.a_blk, banded.b_blk,
+                                   stagef(rhs[:nu])).T.reshape(nu)
+            dw = (rhs[nu] - jnp.dot(c_uw, y1)) \
+                / (k_ww - jnp.dot(c_uw, y2))
+            return jnp.concatenate([y1 - dw * y2, dw[None]])
 
     def kkt_solve(L, dsc, s, z, rd, rp, rc):
         w = z / s
@@ -391,6 +476,26 @@ def solve_qp(P, q, G, h, lb, ub, *, max_iter: int = 30, tol: float = 1e-8,
 _FUSED_VMEM_BUDGET = 115e6
 
 
+def _ghost_alignment_cols(n: int, g_struct: tuple | None,
+                          n_pblocks: int) -> int:
+    """Ghost-vehicle alignment columns the struct path will insert for this
+    shape (the ghost-padding block in :func:`solve_qp_batched`; 0 = none).
+    Shared by the VMEM gate and the insertion itself so the gate always
+    sees the POST-ghost factor width the kernel will actually compile with
+    (ADVICE r4: a pre-ghost estimate can pass the gate yet OOM)."""
+    if g_struct is None or not g_struct[0] or (n - 1) % 8 == 0:
+        return 0
+    hu_g = int(g_struct[3])
+    v_g = (n - 1) // hu_g
+    if v_g * hu_g != n - 1 or n_pblocks != v_g:
+        return 0
+    k_g = next((k for k in range(1, 9)
+                if ((v_g + k) * hu_g) % 8 == 0), None)
+    if k_g is None or k_g * hu_g > max(hu_g, (n - 1) // 4):
+        return 0
+    return k_g * hu_g
+
+
 def _fused_vmem_bytes(b: int, mg: int, n: int,
                       g_struct: tuple | None) -> float:
     """Approximate per-tile VMEM footprint of the fused IPM kernel.
@@ -429,7 +534,9 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                      certificate: bool = True,
                      g_struct: tuple | None = None,
                      g_slabs: tuple | None = None,
-                     g_slack_mask=None) -> QPSolution:
+                     g_slack_mask=None,
+                     banded: BandedData | None = None,
+                     kkt: str = "dense") -> QPSolution:
     """Natively-batched variant of :func:`solve_qp` (leading batch axis B).
 
     Same Mehrotra method, but the implementation controls memory layout
@@ -491,9 +598,25 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         # resident; shapes beyond the scoped-VMEM budget fail to COMPILE
         # (measured boundaries in BENCHMARKS.md "VMEM ceiling"). Estimate
         # the footprint and fall back to the XLA path instead of crashing.
-        if _fused_vmem_bytes(G.shape[0], G.shape[1], G.shape[2],
-                             g_struct) > _FUSED_VMEM_BUDGET:
+        # The estimate runs at the POST-ghost shape the kernel compiles
+        # with, and with the slab formula only when the struct path will
+        # actually engage (a near-boundary shape needing ghost vehicles
+        # otherwise passes on pre-ghost numbers and OOMs — ADVICE r4).
+        n_gate = G.shape[2]
+        struct_possible = (g_struct is not None and bool(g_struct[0])
+                           and slack_schur and p_blocks is not None)
+        if struct_possible:
+            n_gate += _ghost_alignment_cols(
+                G.shape[2], g_struct, p_blocks.shape[1])
+        struct_engages = struct_possible and (n_gate - 1) % 8 == 0
+        if _fused_vmem_bytes(G.shape[0], G.shape[1], n_gate,
+                             g_struct if struct_engages else None
+                             ) > _FUSED_VMEM_BUDGET:
             use_pallas = False
+    if banded is not None and kkt == "banded":
+        # forced banded formulation: runs through the vmapped per-instance
+        # solver with the Riccati KKT (ops/riccati.py)
+        use_pallas = False
     if P is None:
         # P may be omitted when ``p_blocks`` fully states it (blockdiag +
         # ZERO tail diagonal — the SCP/side-selection shape, where the only
@@ -513,21 +636,23 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             P = P.at[:, vb_ * d_:(vb_ + 1) * d_,
                      vb_ * d_:(vb_ + 1) * d_].set(p_blocks[:, vb_])
     if not use_pallas:
-        if z0 is None:
-            return jax.vmap(
-                lambda P, q, G, h, lb, ub, x0: solve_qp(
-                    P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
-                    fixed_iters=fixed_iters, correctors=correctors,
-                    use_pallas=False)
-            )(P, q, G, h, lb, ub,
-              jnp.zeros_like(q) if x0 is None else x0)
-        return jax.vmap(
-            lambda P, q, G, h, lb, ub, x0, z0: solve_qp(
-                P, q, G, h, lb, ub, max_iter=max_iter, tol=tol, x0=x0,
-                z0=z0, fixed_iters=fixed_iters, correctors=correctors,
-                use_pallas=False)
-        )(P, q, G, h, lb, ub,
-          jnp.zeros_like(q) if x0 is None else x0, z0)
+        # The banded (Riccati) KKT replaces the dense factor in this
+        # fallback whenever its stage statement is available and the
+        # caller opted in ("banded" forces it here; "auto" upgrades the
+        # fallback the VMEM gate or a non-TPU backend selected — the
+        # 30x-cliff remedy above the fused kernel's ceiling).
+        band_v = banded if (banded is not None
+                            and kkt in ("banded", "auto")) else None
+        x0v = jnp.zeros_like(q) if x0 is None else x0
+
+        def _one(args):
+            P_, q_, G_, h_, lb_, ub_, x0_, z0_, bnd_ = args
+            return solve_qp(P_, q_, G_, h_, lb_, ub_, max_iter=max_iter,
+                            tol=tol, x0=x0_, z0=z0_,
+                            fixed_iters=fixed_iters, correctors=correctors,
+                            use_pallas=False, banded=bnd_)
+
+        return jax.vmap(_one)((P, q, G, h, lb, ub, x0v, z0, band_v))
 
     from scp_tpu.ops import pallas_linalg as pll
 
@@ -578,17 +703,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # factor growth then outweighs the structured formation savings.
     n_ghost_vars = 0
     nu_real = n - 1
-    if (g_struct is not None and bool(g_struct[0])
-            and fixed_iters is not None and slack_schur
-            and p_blocks is not None and (n - 1) % 8 != 0):
-        hu_g = int(g_struct[3])
-        v_g = (n - 1) // hu_g
-        k_g = next((k for k in range(1, 9)
-                    if ((v_g + k) * hu_g) % 8 == 0), None)
-        if (v_g * hu_g == n - 1 and k_g is not None
-                and k_g * hu_g <= max(hu_g, (n - 1) // 4)
-                and p_blocks.shape[1] == v_g):
-            ng = k_g * hu_g
+    if (fixed_iters is not None and slack_schur and p_blocks is not None):
+        ng = _ghost_alignment_cols(n, g_struct, p_blocks.shape[1])
+        if ng:
+            hu_g = int(g_struct[3])
+            v_g = (n - 1) // hu_g
+            k_g = ng // hu_g
             n_ghost_vars = ng
 
             def _ins_cols(vec, fill):

