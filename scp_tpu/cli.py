@@ -42,6 +42,8 @@ def _build(args, dtype):
         overrides["controller"] = args.controller
     if getattr(args, "rect_obstacles", False):
         overrides["obst_as_qcqp"] = False
+    if getattr(args, "kkt", ""):
+        overrides["qp_kkt"] = args.kkt
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if args.noise:
@@ -187,6 +189,8 @@ def cmd_sweep(args):
         # obstAsQCQP=0 (Config.py:8) reachable from the sweep entry point
         # too, not only cmd_run (VERDICT r4 missing #2)
         overrides["obst_as_qcqp"] = False
+    if getattr(args, "kkt", ""):
+        overrides["qp_kkt"] = args.kkt
     if args.hp:
         overrides.update(hp=args.hp, hu=args.hp)
     if dtype == jnp.float32:
@@ -252,6 +256,11 @@ def main(argv=None):
     pr.add_argument("--rect-obstacles", action="store_true",
                     help="obstAsQCQP=0: rotated-rectangle obstacle faces "
                          "(side_selection controller)")
+    pr.add_argument("--kkt", choices=["dense", "banded", "auto"],
+                    default="",
+                    help="inner-QP KKT formulation override (default: "
+                         "the tuned-config choice; 'banded' forces the "
+                         "Riccati path, SCP controller only)")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--f64", action="store_true")
     pr.add_argument("--cpu", action="store_true")
@@ -282,6 +291,8 @@ def main(argv=None):
                     help="straggler-repacked batched stepping per shard "
                          "(the bench-calibrated production path; "
                          "incompatible with --n-model > 1)")
+    ps.add_argument("--kkt", choices=["dense", "banded", "auto"],
+                    default="")
     ps.add_argument("--checkpoint", default="")
     ps.add_argument("--checkpoint-every", type=int, default=0)
     ps.add_argument("--seed", type=int, default=0)

@@ -41,9 +41,14 @@ NY = 2  # output:  [x, y] position
 #     the reference's absolute merit stop is unreachable in f32
 #     (BENCHMARKS.md "findings that shaped the design").
 # The reference's analogue is the single shared Config.py:4-26 constant bag.
+#   * qp_kkt="auto" — the fused dense kernel where its VMEM gate admits
+#     it (the hp<=40 fast path), the banded/Riccati formulation wherever
+#     the dense path would fall back: the r4 "30x cliff" above the fused
+#     ceiling (e.g. circle-4 at hp=64) now lands on the fused banded
+#     sweeps at ~1/5 the dense-fallback cost (BENCHMARKS.md).
 TUNED_F32_OVERRIDES: dict[str, Any] = dict(
     delta_tol_rel=1e-4, u_step_tol=1e-5, merit_patience=2,
-    qp_tol=1e-6, qp_fixed_iters=7)
+    qp_tol=1e-6, qp_fixed_iters=7, qp_kkt="auto")
 
 # Side-selection controller f32 calibration (scripts/ss_throughput.py +
 # 50-step canonical closed loops): its single-QP-per-round solves need a

@@ -142,14 +142,26 @@ def build_hy(pairs: tuple, y_pair: jax.Array, y_obst: jax.Array,
 
 class RiccatiFactor(NamedTuple):
     """Per-stage factorization of the block-banded KKT (leading axis K)."""
-    f: jax.Array     # (K, V, V*NX)  F_k = B^T Ptilde_{k+1} A
-    lh: jax.Array    # (K, V, V)     chol(Hu_k + B^T Ptilde_{k+1} B)
-    kg: jax.Array    # (K, V, V*NX)  gain (Hm)^{-1} F_k
+    f: jax.Array     # (K, V, V, NX)  F_k = B^T Ptilde_{k+1} A
+    lh: jax.Array    # (K, V, V)      chol(Hu_k + B^T Ptilde_{k+1} B)
+    kg: jax.Array    # (K, V, V, NX)  gain (Hm)^{-1} F_k
 
 
-def riccati_factor(a_blk: jax.Array, b_blk: jax.Array, hy: jax.Array,
-                   hu_diag: jax.Array) -> RiccatiFactor:
-    """Backward Riccati sweep over the stage Hessians.
+# Kernel dispatch under vmap: None = auto (f32 on the TPU backend uses the
+# fused Pallas sweeps, ops/pallas_riccati.py); True/False force. The scan
+# implementation below stays the unbatched / f64 / CPU path.
+KERNEL: bool | None = None
+
+
+def _use_kernel(dtype) -> bool:
+    if KERNEL is not None:
+        return KERNEL
+    return dtype == jnp.float32 and jax.default_backend() == "tpu"
+
+
+def _riccati_factor_scan(a_blk: jax.Array, b_blk: jax.Array, hy: jax.Array,
+                         hu_diag: jax.Array) -> RiccatiFactor:
+    """Backward Riccati sweep over the stage Hessians (scan form).
 
     a_blk (V, NX, NX) / b_blk (V, NX): per-vehicle discrete dynamics
     (identical across stages — one linearization per MPC step,
@@ -194,8 +206,8 @@ def riccati_factor(a_blk: jax.Array, b_blk: jax.Array, hy: jax.Array,
     return RiccatiFactor(f=f, lh=lh, kg=kg)
 
 
-def riccati_solve(fac: RiccatiFactor, a_blk: jax.Array, b_blk: jax.Array,
-                  r: jax.Array) -> jax.Array:
+def _riccati_solve_scan(fac: RiccatiFactor, a_blk: jax.Array,
+                        b_blk: jax.Array, r: jax.Array) -> jax.Array:
     """Solve the factored banded KKT for the stage linear terms ``r (K, V)``
     (the u-space RHS reshaped stage-major). Returns ``du (K, V)``.
 
@@ -227,3 +239,59 @@ def riccati_solve(fac: RiccatiFactor, a_blk: jax.Array, b_blk: jax.Array,
     x0 = jnp.zeros((v, NX), r.dtype)
     _, du = jax.lax.scan(forward, x0, (fac.kg, kff))
     return du
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap fronts: unbatched calls run the scans; batched f32 TPU calls
+# run the fused Pallas sweeps (one launch per 128-instance lane tile)
+# ---------------------------------------------------------------------------
+
+@jax.custom_batching.custom_vmap
+def riccati_factor(a_blk: jax.Array, b_blk: jax.Array, hy: jax.Array,
+                   hu_diag: jax.Array) -> RiccatiFactor:
+    """Backward Riccati sweep (see :func:`_riccati_factor_scan`); under
+    vmap on f32/TPU the fused Pallas kernel engages automatically."""
+    return _riccati_factor_scan(a_blk, b_blk, hy, hu_diag)
+
+
+@riccati_factor.def_vmap
+def _riccati_factor_vmap(axis_size, in_batched, a_blk, b_blk, hy, hu_diag):
+    del axis_size
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(x, hy.shape[:1] + x.shape)
+    a_blk = bcast(a_blk, in_batched[0])
+    b_blk = bcast(b_blk, in_batched[1])
+    hu_diag = bcast(hu_diag, in_batched[3])
+    assert in_batched[2], "hy must carry the batch axis"
+    if _use_kernel(hy.dtype):
+        from scp_tpu.ops import pallas_riccati as pr
+        f, lh, kg = pr.riccati_factor_lane(a_blk, b_blk, hy, hu_diag)
+        out = RiccatiFactor(f=f, lh=lh, kg=kg)
+    else:
+        out = jax.vmap(_riccati_factor_scan)(a_blk, b_blk, hy, hu_diag)
+    return out, RiccatiFactor(f=True, lh=True, kg=True)
+
+
+@jax.custom_batching.custom_vmap
+def riccati_solve(fac: RiccatiFactor, a_blk: jax.Array, b_blk: jax.Array,
+                  r: jax.Array) -> jax.Array:
+    """Banded back-substitution (see :func:`_riccati_solve_scan`); under
+    vmap on f32/TPU the fused Pallas kernel engages automatically."""
+    return _riccati_solve_scan(fac, a_blk, b_blk, r)
+
+
+@riccati_solve.def_vmap
+def _riccati_solve_vmap(axis_size, in_batched, fac, a_blk, b_blk, r):
+    del axis_size
+    fac_b, a_b, b_b, r_b = in_batched
+    assert all(jax.tree_util.tree_leaves(fac_b)) and r_b, (fac_b, r_b)
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(x, r.shape[:1] + x.shape)
+    a_blk = bcast(a_blk, a_b)
+    b_blk = bcast(b_blk, b_b)
+    if _use_kernel(r.dtype):
+        from scp_tpu.ops import pallas_riccati as pr
+        du = pr.riccati_solve_lane(fac.f, fac.lh, fac.kg, a_blk, b_blk, r)
+    else:
+        du = jax.vmap(_riccati_solve_scan)(fac, a_blk, b_blk, r)
+    return du, True

@@ -300,3 +300,73 @@ def test_closed_loop_banded_matches_dense():
                                rtol=1e-5, atol=1e-8)
     assert np.asarray(out_b.feasible).all() == np.asarray(
         out_d.feasible).all()
+
+
+def test_riccati_lane_kernels_match_scan_interpret():
+    """The fused Pallas Riccati sweeps (ops/pallas_riccati.py) reproduce
+    the scan implementation — validated on CPU via interpret mode, the
+    same pattern as the fused IPM kernel tests."""
+    from scp_tpu.ops import pallas_riccati as pr
+
+    batches = [_random_system(seed=s, v=3, k=5, o=2) for s in range(3)]
+    pairs = tuple(batches[0][3])
+    to32 = lambda x: jnp.asarray(np.stack(x), jnp.float32)  # noqa: E731
+    a_blk = to32([b[0] for b in batches])
+    b_blk = to32([b[1] for b in batches])
+    hy = jax.vmap(lambda yp, yo, wp, wo, q: riccati.build_hy(
+        pairs, yp, yo, wp, wo, q))(
+        to32([b[4] for b in batches]), to32([b[5] for b in batches]),
+        to32([b[6] for b in batches]), to32([b[7] for b in batches]),
+        to32([b[8] for b in batches]))
+    hu = to32([b[9] for b in batches])
+    rr = to32([b[10] for b in batches])
+
+    fac_s = jax.vmap(riccati._riccati_factor_scan)(a_blk, b_blk, hy, hu)
+    du_s = jax.vmap(riccati._riccati_solve_scan)(fac_s, a_blk, b_blk, rr)
+
+    pr.INTERPRET = True
+    riccati.KERNEL = True
+    try:
+        fac_k = jax.vmap(riccati.riccati_factor)(a_blk, b_blk, hy, hu)
+        du_k = jax.vmap(riccati.riccati_solve)(fac_k, a_blk, b_blk, rr)
+    finally:
+        pr.INTERPRET = False
+        riccati.KERNEL = None
+    np.testing.assert_allclose(np.asarray(fac_k.f), np.asarray(fac_s.f),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fac_k.lh), np.asarray(fac_s.lh),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fac_k.kg), np.asarray(fac_s.kg),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(du_k), np.asarray(du_s),
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_riccati_lane_kernels_single_vehicle_interpret():
+    """V=1 kernel shapes (frog: 2V=2 position block, 1x1 input chol)."""
+    from scp_tpu.ops import pallas_riccati as pr
+
+    batches = [_random_system(seed=s + 10, v=1, k=6, o=3)
+               for s in range(2)]
+    to32 = lambda x: jnp.asarray(np.stack(x), jnp.float32)  # noqa: E731
+    a_blk = to32([b[0] for b in batches])
+    b_blk = to32([b[1] for b in batches])
+    hy = jax.vmap(lambda yp, yo, wp, wo, q: riccati.build_hy(
+        (), yp, yo, wp, wo, q))(
+        to32([b[4] for b in batches]), to32([b[5] for b in batches]),
+        to32([b[6] for b in batches]), to32([b[7] for b in batches]),
+        to32([b[8] for b in batches]))
+    hu = to32([b[9] for b in batches])
+    rr = to32([b[10] for b in batches])
+    fac_s = jax.vmap(riccati._riccati_factor_scan)(a_blk, b_blk, hy, hu)
+    du_s = jax.vmap(riccati._riccati_solve_scan)(fac_s, a_blk, b_blk, rr)
+    pr.INTERPRET = True
+    riccati.KERNEL = True
+    try:
+        fac_k = jax.vmap(riccati.riccati_factor)(a_blk, b_blk, hy, hu)
+        du_k = jax.vmap(riccati.riccati_solve)(fac_k, a_blk, b_blk, rr)
+    finally:
+        pr.INTERPRET = False
+        riccati.KERNEL = None
+    np.testing.assert_allclose(np.asarray(du_k), np.asarray(du_s),
+                               rtol=5e-4, atol=1e-5)
