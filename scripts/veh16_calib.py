@@ -86,10 +86,21 @@ SCHEDULES = [
     ("flat20,qpit9", ((20, 1),), 9),
 ]
 
+# Round-2 focus (first round showed qp_fixed_iters, not the schedule, is
+# the V=16 quality lever: qpit 7 -> 9 lifts feasibility 0.904 -> 0.952 at
+# better objective):
+SCHEDULES_R2 = [
+    ("v4-sched,qpit9", config_lib.TUNED_F32_PHASES, 9),
+    ("v4-sched,qpit10", config_lib.TUNED_F32_PHASES, 10),
+    ("v4-sched,qpit12", config_lib.TUNED_F32_PHASES, 12),
+    ("(4,1)(3,4)(13,16),qpit10", ((4, 1), (3, 4), (13, 16)), 10),
+]
+
 
 def cmd_sweep():
     base_rtt = rtt()
-    for name, phases, qpit in SCHEDULES:
+    sched = SCHEDULES_R2 if MODE == "sweep2" else SCHEDULES
+    for name, phases, qpit in sched:
         cfg, data = make(jnp.float32)
         cfg = cfg.replace(qp_fixed_iters=qpit)
         carry = jax.vmap(lambda d: engine.init_carry(cfg, d))(data)
@@ -169,5 +180,5 @@ def cmd_xcheck64():
 
 
 if __name__ == "__main__":
-    dict(hist=cmd_hist, sweep=cmd_sweep, xcheck=cmd_xcheck,
-         xcheck64=cmd_xcheck64)[MODE]()
+    dict(hist=cmd_hist, sweep=cmd_sweep, sweep2=cmd_sweep,
+         xcheck=cmd_xcheck, xcheck64=cmd_xcheck64)[MODE]()
