@@ -50,6 +50,18 @@ TUNED_F32_OVERRIDES: dict[str, Any] = dict(
     delta_tol_rel=1e-4, u_step_tol=1e-5, merit_patience=2,
     qp_tol=1e-6, qp_fixed_iters=7, qp_kkt="auto")
 
+# V=16 regime override (scripts/veh16_calib.py, real-chip sweep over
+# schedules x qp_fixed_iters at B=256/hp=10 randomized all-crossing
+# conflicts): the quality lever at 120 coupled pairs is INNER-QP DEPTH,
+# not the straggler schedule — every schedule at qp_fixed_iters=7 sits at
+# 0.87-0.90 closed-loop feasibility (including flat-20), while 9 fixed
+# iterations lift it to 0.949 at 17% better objective. Deeper is NOT
+# better: 10/12 iterations degrade feasibility (0.941/0.906) while the
+# objective keeps falling — the sharper optima hug the constraint
+# boundary. The V=4 phase schedule itself transfers unchanged (the V=16
+# done-by-k histogram is no heavier: 78% converged by iteration 4).
+TUNED_F32_V16: dict[str, Any] = dict(qp_fixed_iters=9)
+
 # Side-selection controller f32 calibration (scripts/ss_throughput.py +
 # 50-step canonical closed loops): its single-QP-per-round solves need a
 # DEEPER fixed iteration count than the SCP loop's 7 — there is no outer

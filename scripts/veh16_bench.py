@@ -33,7 +33,9 @@ def main():
     cfg, data = batch_lib.make_batch(
         "circle", b, key=jax.random.PRNGKey(12), dtype=jnp.float32,
         n_veh=16)
-    cfg = config_lib.tuned_f32(cfg.replace(hp=hp, hu=hp))
+    # V=16-calibrated inner depth (scripts/veh16_calib.py evidence)
+    cfg = config_lib.tuned_f32(cfg.replace(hp=hp, hu=hp),
+                               **config_lib.TUNED_F32_V16)
     step_j = jax.jit(lambda d, c: engine.mpc_step_batch(
         cfg, d, c, phases=config_lib.TUNED_F32_PHASES))
     keys = jax.random.split(jax.random.PRNGKey(13), b)

@@ -47,7 +47,9 @@ def make(dtype, b=None):
         n_veh=N_VEH)
     cfg = cfg.replace(hp=HP, hu=HP)
     if dtype == jnp.float32:
-        cfg = config_lib.tuned_f32(cfg)
+        # the V=16-calibrated depth (sweep result: feasibility peaks at
+        # qp_fixed_iters=9; config.TUNED_F32_V16)
+        cfg = config_lib.tuned_f32(cfg, **config_lib.TUNED_F32_V16)
     return cfg, data
 
 

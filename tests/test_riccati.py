@@ -370,3 +370,65 @@ def test_riccati_lane_kernels_single_vehicle_interpret():
         riccati.KERNEL = None
     np.testing.assert_allclose(np.asarray(du_k), np.asarray(du_s),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_stacked_auto_resolves_to_banded_off_tpu():
+    """qp_kkt="auto" routes the non-fused path through the banded solve
+    (the VMEM-cliff remedy): on a backend without the fused kernel it must
+    produce exactly the forced-banded result."""
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+    from scp_tpu.solvers import scp
+
+    cfg, data = batch_lib.make_batch("circle", 2,
+                                     key=jax.random.PRNGKey(6),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=4, qp_max_iter=20,
+                      qp_kkt="auto")
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    prob, _ = jax.vmap(lambda d, c: engine.controller_pre(cfg, d, c))(
+        data, carry)
+    kw = dict(u_lim=cfg.u_lim, max_scp_iter=4, qp_tol=1e-9, qp_max_iter=20)
+    res_auto = scp.solve_scp_stacked(prob, carry.u_warm, qp_kkt="auto",
+                                     **kw)
+    res_band = scp.solve_scp_stacked(prob, carry.u_warm, qp_kkt="banded",
+                                     **kw)
+    np.testing.assert_array_equal(np.asarray(res_auto.u),
+                                  np.asarray(res_band.u))
+
+
+def test_solve_qp_banded_kernel_integration_interpret():
+    """The fused Riccati kernels inside the full IPM (f32, interpret
+    mode): solve_qp with the banded KKT and KERNEL forced must land at
+    the scan-path solution — validates the custom_vmap boundary under
+    the solver, not just the primitives."""
+    from scp_tpu.ops import pallas_riccati as pr
+    from scp_tpu.solvers import qp
+
+    args64, banded64 = _scp_qp_instance(n_veh=3, hp=5, seed=2)
+    to32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float32), t)
+    args = to32(args64)
+    banded = to32(banded64)
+
+    def solve():
+        return qp.solve_qp_batched(
+            None if False else jnp.stack([args[0]]),
+            jnp.stack([args[1]]), jnp.stack([args[2]]),
+            jnp.stack([args[3]]), jnp.stack([args[4]]),
+            jnp.stack([args[5]]), x0=jnp.stack([args[6]]),
+            fixed_iters=6, tol=1e-6, use_pallas=False,
+            banded=jax.tree_util.tree_map(lambda x: x[None], banded),
+            kkt="banded")
+
+    ref = solve()                      # scan path (KERNEL auto-off on CPU)
+    pr.INTERPRET = True
+    riccati.KERNEL = True
+    try:
+        got = solve()
+    finally:
+        pr.INTERPRET = False
+        riccati.KERNEL = None
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=2e-3, atol=2e-5)
