@@ -149,10 +149,14 @@ def cmd_run(args):
         results.save_npz(args.out, arrays)
         print(f"saved results to {args.out}", file=sys.stderr)
     if args.export_json:
+        inst = getattr(args, "export_instance", 0) if args.mc > 1 else None
         results.export_reference_json(
             args.export_json, cfg, data, out,
-            step_times=step_times, controller_runtimes=controller_runtimes)
-        print(f"exported reference-format JSON to {args.export_json}",
+            step_times=step_times, controller_runtimes=controller_runtimes,
+            instance=inst)
+        note = (f" (instance {inst} of the {args.mc}-wide batch)"
+                if inst is not None else "")
+        print(f"exported reference-format JSON to {args.export_json}{note}",
               file=sys.stderr)
     if args.frames and not (getattr(args, "plot", False) and args.mc == 1):
         # (run_live already saved per-step frames on the --plot path)
@@ -266,6 +270,9 @@ def main(argv=None):
     pr.add_argument("--cpu", action="store_true")
     pr.add_argument("--out", default="")
     pr.add_argument("--export-json", default="")
+    pr.add_argument("--export-instance", type=int, default=0,
+                    help="with --mc > 1: which batch instance the "
+                         "reference-format JSON export slices out")
     pr.add_argument("--frames", default="")
     pr.add_argument("--plot", action="store_true",
                     help="live per-step rendering while the loop runs "

@@ -343,3 +343,34 @@ def test_side_selection_frames_no_stars_on_feasible_steps(tmp_path):
                                          str(tmp_path / "ss"),
                                          scenario="frog")
     assert len(paths) == 6
+
+
+def test_reference_json_export_batched_instance(tmp_path):
+    """Batched (--mc) runs export the reference JSON by instance slice
+    (VERDICT r4 weak #8) — the sliced export equals the unbatched run of
+    the same instance."""
+    from scp_tpu.scenarios import batch as batch_lib
+
+    cfg, data = batch_lib.make_batch("circle", 2, key=jax.random.PRNGKey(8),
+                                     dtype=jnp.float64, n_veh=3)
+    cfg = cfg.replace(hp=4, hu=4, max_scp_iter=2, qp_max_iter=8)
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)
+    _, out_b = jax.jit(functools.partial(
+        engine.simulate_batch, cfg, n_steps=2))(data, keys)
+    data1 = jax.tree_util.tree_map(lambda x: x[1], data)
+    _, out_1 = jax.jit(functools.partial(
+        engine.simulate, cfg, data1, n_steps=2))(key=keys[1])
+
+    p_b = str(tmp_path / "batched.json")
+    p_1 = str(tmp_path / "single.json")
+    results.export_reference_json(p_b, cfg, data1, out_b, instance=1)
+    results.export_reference_json(p_1, cfg, data1, out_1)
+    with open(p_b) as f:
+        payload_b = json.load(f)
+    with open(p_1) as f:
+        payload_1 = json.load(f)
+    assert set(payload_b) == set(payload_1)
+    for k in payload_1:
+        np.testing.assert_allclose(np.asarray(payload_b[k]),
+                                   np.asarray(payload_1[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)

@@ -66,6 +66,21 @@ def test_randomized_step_invariants(kind, n_veh):
     _check_invariants(cfg, data, out, 3)
 
 
+def test_randomized_step_invariants_banded():
+    """The banded (Riccati) KKT path upholds the same randomized-step
+    invariants as the dense path across scenario families."""
+    for kind, n_veh in (("circle", 4), ("parallel", 5)):
+        cfg, data = batch_lib.make_batch(
+            kind, 4, key=jax.random.PRNGKey(n_veh), dtype=jnp.float64,
+            n_veh=n_veh)
+        cfg = cfg.replace(hp=5, hu=5, max_scp_iter=4, qp_max_iter=12,
+                          noise_std=1e-4, qp_kkt="banded")
+        keys = jax.random.split(jax.random.PRNGKey(21), 4)
+        carry, out = jax.jit(functools.partial(
+            engine.simulate_batch, cfg, n_steps=3))(data, keys)
+        _check_invariants(cfg, data, out, 3)
+
+
 def test_randomized_step_invariants_side_selection():
     cfg, data = batch_lib.make_batch(
         "frog", 4, key=jax.random.PRNGKey(3), dtype=jnp.float64)
