@@ -593,6 +593,9 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     Off TPU this falls back to ``vmap(solve_qp)`` (bit-identical math either
     way, modulo float reduction order).
     """
+    _lane_ok = (q.dtype == jnp.float32
+                and (use_pallas or (use_pallas is None
+                                    and jax.default_backend() == "tpu")))
     if use_pallas is not False and fixed_iters is not None:
         # VMEM-aware gate: the fused kernels hold their tile's working set
         # resident; shapes beyond the scoped-VMEM budget fail to COMPILE
@@ -613,10 +616,26 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                              g_struct if struct_engages else None
                              ) > _FUSED_VMEM_BUDGET:
             use_pallas = False
+    # Banded-lane routing: with a banded statement and an f32 TPU (or
+    # interpret-test) target, the lane implementation swaps its dense
+    # factor for the fused Riccati sweeps (ops/pallas_riccati.py) while
+    # keeping the natively-batched (dim, B) IPM algebra — measured faster
+    # than routing through vmap(solve_qp, banded=...) whose per-instance
+    # matvec layouts XLA lowers 4-5x off speed-of-light (BENCHMARKS.md).
+    use_banded_lane = False
     if banded is not None and kkt == "banded":
-        # forced banded formulation: runs through the vmapped per-instance
-        # solver with the Riccati KKT (ops/riccati.py)
-        use_pallas = False
+        if _lane_ok:
+            use_pallas = True
+            use_banded_lane = True
+        else:
+            # CPU / f64: the vmapped per-instance Riccati scans
+            use_pallas = False
+    elif (banded is not None and kkt == "auto" and _lane_ok
+          and use_pallas is False):
+        # the VMEM gate just rejected the fused dense kernel: take the
+        # banded lane path instead of the vmap fallback
+        use_pallas = True
+        use_banded_lane = True
     if P is None:
         # P may be omitted when ``p_blocks`` fully states it (blockdiag +
         # ZERO tail diagonal — the SCP/side-selection shape, where the only
@@ -677,6 +696,12 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
             x0 = jnp.concatenate([x0, jnp.zeros((e, n), dtype)])
         if z0 is not None:
             z0 = jnp.concatenate([z0, jnp.ones((e, m), dtype)])
+        if use_banded_lane:
+            # benign pad instances for the Riccati sweeps: zero dynamics /
+            # coefficients / costs — Hm stays SPD from the box barrier
+            banded = BandedData(*(
+                jnp.concatenate([a, jnp.zeros((e,) + a.shape[1:], dtype)])
+                for a in banded))
         if p_blocks is not None:
             # pad instances have P = eye(n): eye blocks + unit tail diagonal
             nb_, d_ = p_blocks.shape[1], p_blocks.shape[2]
@@ -703,7 +728,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     # factor growth then outweighs the structured formation savings.
     n_ghost_vars = 0
     nu_real = n - 1
-    if (fixed_iters is not None and slack_schur and p_blocks is not None):
+    if (fixed_iters is not None and slack_schur and p_blocks is not None
+            and not use_banded_lane):
         ng = _ghost_alignment_cols(n, g_struct, p_blocks.shape[1])
         if ng:
             hu_g = int(g_struct[3])
@@ -768,7 +794,8 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     use_struct = (g_struct is not None and bool(g_struct[0])
                   and fixed_iters is not None
                   and slack_schur and (n - 1) % 8 == 0
-                  and p_blocks is not None)
+                  and p_blocks is not None
+                  and not use_banded_lane)
     use_slabs = use_struct and g_slabs is not None
 
     # --- equilibration (canonical, once per solve) ---
@@ -965,6 +992,79 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         ds = -(rc + s * dz) / z
         return dx, ds, dz
 
+    if use_banded_lane:
+        # ---- banded-lane overrides: the SAME (K + reg*diag(K)) system,
+        # factored by the fused Riccati sweeps instead of the dense
+        # Cholesky (see solve_qp's banded block for the math; this is its
+        # natively-batched (dim, B) twin — stage data built batched, the
+        # ω border eliminated by a 1x1 Schur complement).
+        from scp_tpu.ops import constraints as _con
+        from scp_tpu.ops import pallas_riccati as _pr
+        from scp_tpu.ops import riccati as _ric
+
+        v_bl = banded.a_blk.shape[1]
+        nu_bl = n - 1
+        hu_bl = nu_bl // v_bl
+        assert v_bl * hu_bl == nu_bl, (v_bl, n)
+        k_bl = banded.y_obst.shape[3]
+        assert k_bl == hu_bl, "banded lane requires hp == hu"
+        pairs_bl = tuple(_con._static_pairs(v_bl))
+        assert banded.y_pair.shape[1] == len(pairs_bl)
+        pk_bl = len(pairs_bl) * k_bl
+        Gu2_bl = G_c[:, :, :nu_bl] ** 2                  # loop-invariant
+        gsl_bl = t(G_c[:, :, nu_bl])                     # (mg, B) slack col
+        d_row2 = d_row * d_row                           # (B, mg)
+        qy_s = banded.qy * cost_scale[:, None, None]     # (B, V, K)
+        ru_s = banded.ru * cost_scale[:, None]           # (B, V)
+        pdiag_t = t(p_diag_s)                            # (n, B)
+
+        def stagef_bl(vec_n):       # (nu, B) -> (B, K, V) stage-major
+            return jnp.transpose(
+                vec_n.reshape(v_bl, hu_bl, B), (2, 1, 0))
+
+        def unstage_bl(du):         # (B, K, V) -> (nu, B)
+            return jnp.transpose(du, (2, 1, 0)).reshape(nu_bl, B)
+
+        def factor(s, z):           # noqa: F811 — banded-lane override
+            w = z / s                                    # (m, B)
+            w_g = t(w[:mg])                              # (B, mg)
+            wd = w_g * d_row2
+            w_pair = wd[:, :pk_bl].reshape(B, len(pairs_bl), k_bl)
+            w_ob = wd[:, pk_bl:].reshape(B, v_bl, -1, k_bl)
+            hy = jax.vmap(lambda yp, yo, wp, wo, q_:
+                          _ric.build_hy(pairs_bl, yp, yo, wp, wo, q_))(
+                banded.y_pair, banded.y_obst, w_pair, w_ob, qy_s)
+            dbox = w[mg:mg + n] + w[mg + n:]             # (n, B)
+            diagk_u = pdiag_t[:nu_bl] \
+                + t(jnp.einsum("bmn,bm->bn", Gu2_bl, w_g)) \
+                + dbox[:nu_bl]                           # (nu, B)
+            hu_diag = ru_s[:, None, :] + stagef_bl(
+                dbox[:nu_bl] + reg_rel * diagk_u)
+            fac_t = _pr.riccati_factor_lane(
+                banded.a_blk, banded.b_blk, hy, hu_diag)
+            # slack border column / corner, with the dense path's reg
+            # (P's border entries are zero by the p_blocks contract)
+            c_uw = gtmv(w[:mg] * gsl_bl)[:nu_bl]         # (nu, B)
+            k_ww = (jnp.sum(w[:mg] * gsl_bl * gsl_bl, axis=0)
+                    + dbox[n - 1] + pdiag_t[n - 1]) * (1.0 + reg_rel)
+            y2 = _pr.riccati_solve_lane(
+                *fac_t, banded.a_blk, banded.b_blk, stagef_bl(c_uw))
+            return (fac_t, c_uw, k_ww, unstage_bl(y2)), None
+
+        def kkt_solve(facB, _dsc, s, z, rd, rp, rc):    # noqa: F811
+            fac_t, c_uw, k_ww, y2v = facB
+            w = z / s
+            rhs = -(rd + ghat_tmv(w * rp - rc / s))      # (n, B)
+            y1 = unstage_bl(_pr.riccati_solve_lane(
+                *fac_t, banded.a_blk, banded.b_blk,
+                stagef_bl(rhs[:nu_bl])))
+            dw = (rhs[nu_bl] - jnp.sum(c_uw * y1, axis=0)) \
+                / (k_ww - jnp.sum(c_uw * y2v, axis=0))   # (B,)
+            dx = jnp.concatenate([y1 - dw[None, :] * y2v, dw[None, :]])
+            dz = w * (ghat_mv(dx) + rp) - rc / s
+            ds = -(rc + s * dz) / z
+            return dx, ds, dz
+
     def max_step(v, dv):
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))  # (B,)
@@ -1003,7 +1103,29 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         rp = jnp.where(okb, (1.0 - alpha) * rp, rp)
         return x, s, z, rp, mu, rd, ok
 
-    if fixed_iters is not None:
+    if fixed_iters is not None and use_banded_lane:
+        # Banded-lane fixed-iteration loop: the iterate() algebra in
+        # (dim, B) layout with the Riccati factor/solve overrides above,
+        # plus the same per-lane freeze-on-stall as solve_qp's fori body.
+        rp0b = ghat_mv(x) + s - hhat_s
+        bigv = jnp.full((B,), jnp.finfo(dtype).max, dtype)
+
+        def fori_body_bl(_, st):
+            x_, s_, z_, rp_, mu_prev, frozen = st
+            x2, s2, z2, rp2, mu, rd, ok = iterate(x_, s_, z_, rp_)
+            stalled = (mu > 0.7 * mu_prev) & (mu < tol * 1e3)
+            converged = mu < tol
+            nf = frozen | stalled | converged | ~ok
+            keep = (~nf)[None, :]
+            return (jnp.where(keep, x2, x_), jnp.where(keep, s2, s_),
+                    jnp.where(keep, z2, z_), jnp.where(keep, rp2, rp_),
+                    mu, nf)
+
+        x, s, z, _, _, _ = jax.lax.fori_loop(
+            0, fixed_iters, fori_body_bl,
+            (x, s, z, rp0b, bigv, jnp.zeros((B,), bool)))
+        iters = jnp.full((B0,), fixed_iters)
+    elif fixed_iters is not None:
         # Fused path: the whole Mehrotra iteration (factor + predictor +
         # corrector + step algebra) runs as ONE Pallas launch per iteration
         # with the factor and G resident in VMEM; only the KKT formation
@@ -1196,7 +1318,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         iters = iters_all[:B0]
 
     mu_f = jnp.sum(s * z, axis=0) / m
-    if fixed_iters is not None and not certificate:
+    if fixed_iters is not None and not certificate and not use_banded_lane:
         # Cheap certificate for the fused hot path: the primal residual is
         # carried through the kernel by the exact (1 - alpha) recurrence, so
         # its norm costs three small lane reductions instead of the honest
