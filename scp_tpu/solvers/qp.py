@@ -797,9 +797,16 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                   and p_blocks is not None
                   and not use_banded_lane)
     use_slabs = use_struct and g_slabs is not None
+    # The slab-driven equilibration + matvecs also serve the banded-lane
+    # branch (same SCP row layout; keeps the dense G — ~100 MB in lane
+    # layout at hp=64 — out of every per-iteration G pass):
+    use_slab_mv = (g_slabs is not None and g_struct is not None
+                   and bool(g_struct[0])
+                   and (use_struct or use_banded_lane))
+    use_mv_struct = use_struct or use_slab_mv
 
     # --- equilibration (canonical, once per solve) ---
-    if use_slabs:
+    if use_slab_mv:
         gi_b, gj_b, gob_b = g_slabs
         if gob_b.ndim == 5:
             # (B, V, O, K, U) -> flat (B, S, K, U); v-major order matches
@@ -854,10 +861,10 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     def t(a):                                                 # (B, d) -> (d, B)
         return jnp.transpose(a, (1, 0))
 
-    if use_struct:
+    if use_mv_struct:
         mg_pad = pll._pad_to(mg, pll._MV_MB)
         _HI = jax.lax.Precision.HIGHEST
-        if use_slabs:
+        if use_slab_mv:
             pairs_s0, obst_veh0, hp_s0, hu_s0, *_ = g_struct
             nu0 = n - 1
             xv_shape0 = nu0 // hu_s0
@@ -915,7 +922,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
     def pad_rows(v, rows):
         return jnp.pad(v, ((0, rows - v.shape[0]), (0, 0)))
 
-    if not use_struct:
+    if not use_mv_struct:
         def gmv(x):                                           # (n,B)->(mg,B)
             return pll.gmv_lane(G_lane, pad_rows(x, n_pad))[:mg]
 
@@ -1011,8 +1018,30 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
         pairs_bl = tuple(_con._static_pairs(v_bl))
         assert banded.y_pair.shape[1] == len(pairs_bl)
         pk_bl = len(pairs_bl) * k_bl
-        Gu2_bl = G_c[:, :, :nu_bl] ** 2                  # loop-invariant
-        gsl_bl = t(G_c[:, :, nu_bl])                     # (mg, B) slack col
+        if use_slab_mv:
+            # diag(G^T W G) and the slack column from the equilibrated
+            # slabs — the dense G is never read on this path
+            gi2_bl, gj2_bl = gi_c * gi_c, gj_c * gj_c
+            gob2_bl = gob_c * gob_c
+            gsl_bl = t(-d_slack)                         # (mg, B)
+
+            def _diag_gu(w_g):   # (B, mg) -> (nu, B): sum_m w_m g_mu^2
+                vp = w_g[:, :pk_bl].reshape(gi_c.shape[:3])
+                vo = w_g[:, pk_bl:].reshape(gob_c.shape[:3])
+                acc = jnp.zeros((B, v_bl, hu_bl), dtype) \
+                    .at[:, pi_idx].add(jnp.einsum("bpku,bpk->bpu",
+                                                  gi2_bl, vp)) \
+                    .at[:, pj_idx].add(jnp.einsum("bpku,bpk->bpu",
+                                                  gj2_bl, vp)) \
+                    .at[:, ov_idx].add(jnp.einsum("bsku,bsk->bsu",
+                                                  gob2_bl, vo))
+                return t(acc.reshape(B, nu_bl))
+        else:
+            Gu2_bl = G_c[:, :, :nu_bl] ** 2              # loop-invariant
+            gsl_bl = t(G_c[:, :, nu_bl])                 # (mg, B) slack col
+
+            def _diag_gu(w_g):
+                return t(jnp.einsum("bmn,bm->bn", Gu2_bl, w_g))
         d_row2 = d_row * d_row                           # (B, mg)
         qy_s = banded.qy * cost_scale[:, None, None]     # (B, V, K)
         ru_s = banded.ru * cost_scale[:, None]           # (B, V)
@@ -1035,8 +1064,7 @@ def solve_qp_batched(P, q, G, h, lb, ub, *, max_iter: int = 30,
                           _ric.build_hy(pairs_bl, yp, yo, wp, wo, q_))(
                 banded.y_pair, banded.y_obst, w_pair, w_ob, qy_s)
             dbox = w[mg:mg + n] + w[mg + n:]             # (n, B)
-            diagk_u = pdiag_t[:nu_bl] \
-                + t(jnp.einsum("bmn,bm->bn", Gu2_bl, w_g)) \
+            diagk_u = pdiag_t[:nu_bl] + _diag_gu(w_g) \
                 + dbox[:nu_bl]                           # (nu, B)
             hu_diag = ru_s[:, None, :] + stagef_bl(
                 dbox[:nu_bl] + reg_rel * diagk_u)

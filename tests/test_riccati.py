@@ -464,3 +464,42 @@ def test_banded_lane_branch_matches_vmap_interpret():
         pr.INTERPRET = False
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_banded_lane_slab_matvecs_match_vmap_interpret():
+    """The banded-lane branch with SLAB matvecs (the production route via
+    solve_scp_stacked's g_slabs) matches the vmapped banded solver —
+    interpret mode, f32, fixed-iteration fori path."""
+    from scp_tpu.ops import pallas_linalg as pll
+    from scp_tpu.ops import pallas_riccati as pr
+    from scp_tpu.scenarios import batch as batch_lib
+    from scp_tpu.sim import engine
+    from scp_tpu.solvers import scp
+
+    cfg, data = batch_lib.make_batch("circle", 2,
+                                     key=jax.random.PRNGKey(11),
+                                     dtype=jnp.float32, n_veh=3)
+    cfg = cfg.replace(hp=5, hu=5, max_scp_iter=3, qp_fixed_iters=5,
+                      qp_tol=1e-6, qp_kkt="banded")
+    keys = jax.random.split(jax.random.PRNGKey(12), 2)
+    carry = jax.vmap(lambda d, k: engine.init_carry(cfg, d, k))(data, keys)
+    prob, _ = jax.vmap(lambda d, c: engine.controller_pre(cfg, d, c))(
+        data, carry)
+    kw = dict(u_lim=cfg.u_lim, max_scp_iter=3, qp_tol=1e-6,
+              qp_fixed_iters=5, qp_kkt="banded")
+    ref = scp.solve_scp_stacked(prob, carry.u_warm, qp_use_pallas=False,
+                                **kw)
+    pll.INTERPRET = True
+    pr.INTERPRET = True
+    riccati.KERNEL = False   # vmap reference must stay on the scans
+    try:
+        got = scp.solve_scp_stacked(prob, carry.u_warm,
+                                    qp_use_pallas=True, **kw)
+    finally:
+        pll.INTERPRET = False
+        pr.INTERPRET = False
+        riccati.KERNEL = None
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               rtol=5e-3, atol=5e-6)
