@@ -503,3 +503,33 @@ def test_banded_lane_slab_matvecs_match_vmap_interpret():
                                   np.asarray(ref.iters))
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
                                rtol=5e-3, atol=5e-6)
+
+
+def test_banded_lane_adaptive_path_interpret():
+    """The banded-lane overrides also serve the ADAPTIVE (while-loop)
+    solver — interpret-mode pin against the vmapped banded path."""
+    from scp_tpu.ops import pallas_linalg as pll
+    from scp_tpu.ops import pallas_riccati as pr
+    from scp_tpu.solvers import qp
+
+    args64, banded64 = _scp_qp_instance(n_veh=3, hp=5, seed=7)
+    to32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float32), t)
+    a = to32(args64)
+    bnd = jax.tree_util.tree_map(lambda x: x[None], to32(banded64))
+    bat = lambda x: jnp.stack([x])            # noqa: E731
+    common = dict(max_iter=5, tol=1e-6, kkt="banded", banded=bnd)
+    ref = qp.solve_qp_batched(
+        bat(a[0]), bat(a[1]), bat(a[2]), bat(a[3]), bat(a[4]), bat(a[5]),
+        x0=bat(a[6]), use_pallas=False, **common)
+    pll.INTERPRET = True
+    pr.INTERPRET = True
+    try:
+        got = qp.solve_qp_batched(
+            bat(a[0]), bat(a[1]), bat(a[2]), bat(a[3]), bat(a[4]),
+            bat(a[5]), x0=bat(a[6]), use_pallas=True, **common)
+    finally:
+        pll.INTERPRET = False
+        pr.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-5)
