@@ -26,8 +26,11 @@ HP = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 MODE = sys.argv[3] if len(sys.argv) > 3 else "banded"   # banded | dense
 
-KW = dict(u_lim=0.0524, qp_tol=1e-6, qp_fixed_iters=7, u_step_tol=1e-5,
-          delta_tol_rel=1e-4, merit_patience=2)
+# calibrated f32 settings from the single source (CLAUDE.md rule); the
+# kkt choice comes from the cfg built in main()
+_T = dict(config_lib.TUNED_F32_OVERRIDES)
+_T.pop("qp_kkt", None)
+KW = dict(u_lim=config_lib.SCPConfig().u_lim, **_T)
 
 
 def readback(x):
